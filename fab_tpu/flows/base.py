@@ -1,0 +1,144 @@
+"""Flow core: bijector protocol, diagonal-Gaussian base, and the composed Flow.
+
+This replaces the reference's wrapper-over-external-libraries model layer
+(fab/wrappers/normflows.py:8-31, fab/trainable_distributions/base.py:4-5) with our own
+stack: bijectors are *static* config objects exposing pure functions over explicit
+param pytrees, so the whole flow traces into a single XLA program.
+
+Direction convention: ``forward`` maps base -> data (the sampling direction);
+``inverse`` maps data -> base (the density-evaluation direction).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+Params = Any
+
+
+class Bijector:
+    """Static bijector config. Subclasses implement pure init/forward/inverse."""
+
+    def init(self, key: jax.Array, dim: int, dtype=jnp.float32) -> Params:
+        raise NotImplementedError
+
+    def forward_and_log_det(self, params: Params, z: Array) -> Tuple[Array, Array]:
+        """Base -> data. Returns (x, log|det J|) with log-det shaped [B]."""
+        raise NotImplementedError
+
+    def inverse_and_log_det(self, params: Params, x: Array) -> Tuple[Array, Array]:
+        """Data -> base. Returns (z, log|det J^{-1}|) with log-det shaped [B]."""
+        raise NotImplementedError
+
+    def param_sharding(self, dim: int, model_axis: str):
+        """PartitionSpec pytree matching init()'s params; replicated by default."""
+        from jax.sharding import PartitionSpec as P
+
+        return jax.tree.map(lambda _: P(), self.init(jax.random.key(0), dim))
+
+
+@dataclasses.dataclass(frozen=True)
+class DiagGaussianBase:
+    """Trainable diagonal-Gaussian base distribution (loc, log_scale).
+
+    Analogue of normflows' DiagGaussian base used by the reference RealNVP factory
+    (experiments/make_flow/make_normflow_model.py:88).
+    """
+
+    dim: int
+
+    def init(self, dtype=jnp.float32) -> Params:
+        return {
+            "loc": jnp.zeros((self.dim,), dtype),
+            "log_scale": jnp.zeros((self.dim,), dtype),
+        }
+
+    def sample_and_log_prob(
+        self, params: Params, key: jax.Array, n: int
+    ) -> Tuple[Array, Array]:
+        eps = jax.random.normal(key, (n, self.dim), params["loc"].dtype)
+        z = params["loc"] + eps * jnp.exp(params["log_scale"])
+        log_prob = self._log_prob_from_eps(params, eps)
+        return z, log_prob
+
+    def log_prob(self, params: Params, z: Array) -> Array:
+        eps = (z - params["loc"]) * jnp.exp(-params["log_scale"])
+        return self._log_prob_from_eps(params, eps)
+
+    def _log_prob_from_eps(self, params: Params, eps: Array) -> Array:
+        log_norm = -0.5 * self.dim * jnp.log(2 * jnp.pi) - jnp.sum(
+            params["log_scale"]
+        )
+        return log_norm - 0.5 * jnp.sum(eps**2, axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class Flow:
+    """A composed normalizing flow q_theta: base + chain of bijectors.
+
+    Provides the ``Distribution`` API of the reference (fab/types_.py:8-27):
+    sample / log_prob / sample_and_log_prob, as pure functions of a param pytree.
+    """
+
+    dim: int
+    bijectors: Tuple[Bijector, ...]
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
+        keys = jax.random.split(key, len(self.bijectors))
+        return {
+            "base": DiagGaussianBase(self.dim).init(dtype),
+            "layers": tuple(
+                b.init(k, self.dim, dtype) for b, k in zip(self.bijectors, keys)
+            ),
+        }
+
+    @property
+    def base(self) -> DiagGaussianBase:
+        return DiagGaussianBase(self.dim)
+
+    @property
+    def event_shape(self) -> Tuple[int, ...]:
+        return (self.dim,)
+
+    def forward_and_log_det(self, params: Params, z: Array) -> Tuple[Array, Array]:
+        log_det = jnp.zeros(z.shape[:-1], z.dtype)
+        for bij, p in zip(self.bijectors, params["layers"]):
+            z, ld = bij.forward_and_log_det(p, z)
+            log_det = log_det + ld
+        return z, log_det
+
+    def inverse_and_log_det(self, params: Params, x: Array) -> Tuple[Array, Array]:
+        log_det = jnp.zeros(x.shape[:-1], x.dtype)
+        for bij, p in zip(reversed(self.bijectors), reversed(params["layers"])):
+            x, ld = bij.inverse_and_log_det(p, x)
+            log_det = log_det + ld
+        return x, log_det
+
+    def sample_and_log_prob(
+        self, params: Params, key: jax.Array, n: int
+    ) -> Tuple[Array, Array]:
+        z, log_q = self.base.sample_and_log_prob(params["base"], key, n)
+        x, log_det = self.forward_and_log_det(params, z)
+        return x, log_q - log_det
+
+    def sample(self, params: Params, key: jax.Array, n: int) -> Array:
+        return self.sample_and_log_prob(params, key, n)[0]
+
+    def log_prob(self, params: Params, x: Array) -> Array:
+        z, log_det = self.inverse_and_log_det(params, x)
+        return self.base.log_prob(params["base"], z) + log_det
+
+    def param_sharding(self, model_axis: str = "model"):
+        """PartitionSpec pytree for the flow params (base replicated)."""
+        from jax.sharding import PartitionSpec as P
+
+        return {
+            "base": {"loc": P(), "log_scale": P()},
+            "layers": tuple(
+                b.param_sharding(self.dim, model_axis) for b in self.bijectors
+            ),
+        }

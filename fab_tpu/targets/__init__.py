@@ -1,0 +1,13 @@
+from fab_tpu.targets.base import TargetDistribution
+from fab_tpu.targets.double_well import DoubleWellEnergy
+from fab_tpu.targets.gaussian import Gaussian
+from fab_tpu.targets.gmm import GMM
+from fab_tpu.targets.many_well import ManyWellEnergy
+
+__all__ = [
+    "TargetDistribution",
+    "DoubleWellEnergy",
+    "Gaussian",
+    "GMM",
+    "ManyWellEnergy",
+]
