@@ -52,10 +52,12 @@ class PrioritisedReplayBuffer:
         assert self.min_sample_length < self.max_length
 
     def init(self, dtype=jnp.float32) -> PrioritisedBufferState:
+        from fab_tpu.parallel.mesh import constrain_batch
+
         return PrioritisedBufferState(
-            x=jnp.zeros((self.max_length, self.dim), dtype),
-            log_w=jnp.full((self.max_length,), _NEG_INF, dtype),
-            log_q_old=jnp.zeros((self.max_length,), dtype),
+            x=constrain_batch(jnp.zeros((self.max_length, self.dim), dtype)),
+            log_w=constrain_batch(jnp.full((self.max_length,), _NEG_INF, dtype)),
+            log_q_old=constrain_batch(jnp.zeros((self.max_length,), dtype)),
             cursor=jnp.zeros((), jnp.int32),
             n_added=jnp.zeros((), jnp.int32),
         )

@@ -60,7 +60,11 @@ class DiagGaussianBase:
     def sample_and_log_prob(
         self, params: Params, key: jax.Array, n: int
     ) -> Tuple[Array, Array]:
-        eps = jax.random.normal(key, (n, self.dim), params["loc"].dtype)
+        from fab_tpu.parallel.mesh import constrain_batch
+
+        # The particle axis is born here; the sharding hint makes the whole
+        # downstream FAB step partition over the mesh's data axis.
+        eps = constrain_batch(jax.random.normal(key, (n, self.dim), params["loc"].dtype))
         z = params["loc"] + eps * jnp.exp(params["log_scale"])
         log_prob = self._log_prob_from_eps(params, eps)
         return z, log_prob

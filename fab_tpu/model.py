@@ -47,7 +47,10 @@ class FABModel:
         use_ais: bool = True,
     ) -> "FABModel":
         """Wire flow + target + transition op into an AIS chain (fab/core.py:61-73)."""
-        assert loss_type in losses.LOSS_TYPES
+        if loss_type not in losses.LOSS_TYPES:
+            raise ValueError(
+                f"Unknown loss_type {loss_type!r}; options: {losses.LOSS_TYPES}"
+            )
         ais = None
         if use_ais or loss_type in ("fab_alpha_div", "fab_ub_alpha_2_div"):
             if transition_operator is None:

@@ -1,0 +1,115 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+SURVEY §4 distributed strategy: the sharded program must (a) actually partition the
+particle axis, and (b) agree with the single-device program up to reduction order.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from fab_tpu.buffer import PrioritisedReplayBuffer
+from fab_tpu.flows import make_realnvp
+from fab_tpu.model import FABModel
+from fab_tpu.parallel.mesh import (
+    DATA_AXIS,
+    constrain_batch,
+    make_mesh,
+    replicate,
+    use_mesh,
+)
+from fab_tpu.sampling import HamiltonianMonteCarlo
+from fab_tpu.targets import ManyWellEnergy
+from fab_tpu.train import PrioritisedBufferTrainer, make_optimizer
+from fab_tpu.utils.logging import ListLogger
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def build(dim=4):
+    target = ManyWellEnergy(dim=dim)
+    flow = make_realnvp(dim, n_flow_layers=2, layer_nodes_per_dim=4, act_norm=False)
+    op = HamiltonianMonteCarlo(
+        n_ais_intermediate_distributions=2, n_leapfrog=2, epsilon=1.0
+    )
+    return FABModel.create(
+        flow, target, transition_operator=op, n_intermediate_distributions=2,
+        loss_type="fab_alpha_div",
+    )
+
+
+def test_loss_matches_single_device(key):
+    """Sharded == unsharded within float tolerance (reduction order only)."""
+    model = build()
+    params = model.init(key)
+
+    def loss_fn(params, key):
+        return model.loss_and_info(params, key, 256)[0]
+
+    loss_single = jax.jit(loss_fn)(params, key)
+    mesh = make_mesh(8, 1)
+    with use_mesh(mesh):
+        params_r = replicate(params)
+        loss_sharded = jax.jit(loss_fn)(params_r, key)
+    np.testing.assert_allclose(
+        float(loss_single), float(loss_sharded), rtol=2e-4, atol=1e-5
+    )
+
+
+def test_batch_actually_sharded(key):
+    """The flow-sample output must be laid out over the data axis."""
+    model = build()
+    params = model.init(key)
+    mesh = make_mesh(8, 1)
+    with use_mesh(mesh):
+        params_r = replicate(params)
+
+        @jax.jit
+        def sample(flow_params, key):
+            x, log_q = model.flow.sample_and_log_prob(flow_params, key, 256)
+            return x
+
+        x = sample(params_r["flow"], key)
+        # Each device holds a [32, dim] shard of the [256, dim] batch.
+        assert len(x.sharding.device_set) == 8
+        shard_shapes = {s.data.shape for s in x.addressable_shards}
+        assert shard_shapes == {(32, x.shape[-1])}
+
+
+def test_full_buffer_train_step_sharded(key):
+    """The complete prioritised-buffer iteration compiles and runs on the mesh,
+    and the buffer storage is sharded over devices."""
+    model = build()
+    mesh = make_mesh(8, 1)
+    with use_mesh(mesh):
+        buffer = PrioritisedReplayBuffer(
+            dim=4, max_length=512, min_sample_length=128
+        )
+        trainer = PrioritisedBufferTrainer(
+            model, make_optimizer(1e-3, 100.0), buffer,
+            n_batches_buffer_sampling=2, logger=ListLogger(),
+        )
+        state = trainer.init_state(key, batch_size=64)
+        assert len(state.buffer_state.x.sharding.device_set) == 8
+        step = trainer.make_train_step(batch_size=64)
+        state, info = step(state, key)
+        assert bool(jnp.isfinite(info["loss"]))
+        assert len(state.buffer_state.x.sharding.device_set) == 8
+
+
+def test_graft_entry_contract():
+    """__graft_entry__.entry compiles single-chip; dryrun_multichip(8) runs."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "/root/repo/__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, example_args = mod.entry()
+    out = jax.jit(fn)(*example_args)
+    assert all(bool(jnp.all(jnp.isfinite(o))) for o in jax.tree.leaves(out))
+    mod.dryrun_multichip(8)

@@ -1,0 +1,199 @@
+"""Trainer tests: plain + prioritised-buffer loops, NaN guards, checkpointing,
+and experiment-entry smoke runs (the analogue of the reference's *_fast.yaml
+local-scale e2e checks, SURVEY §4)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from fab_tpu.buffer import PrioritisedReplayBuffer
+from fab_tpu.flows import make_realnvp
+from fab_tpu.model import FABModel
+from fab_tpu.sampling import HamiltonianMonteCarlo, Metropolis
+from fab_tpu.targets import GMM, ManyWellEnergy
+from fab_tpu.train import (
+    PrioritisedBufferTrainer,
+    Trainer,
+    guarded_update,
+    make_optimizer,
+)
+from fab_tpu.utils.logging import ListLogger
+
+
+def small_gmm_model(loss_type="fab_alpha_div"):
+    target = GMM(
+        dim=2, n_mixes=4, loc_scaling=5.0,
+        true_expectation_estimation_n_samples=10_000,
+    )
+    flow = make_realnvp(2, n_flow_layers=2, layer_nodes_per_dim=8, act_norm=False)
+    op = Metropolis(n_ais_intermediate_distributions=1, n_updates=1,
+                    max_step_size=2.0, min_step_size=2.0)
+    return FABModel.create(
+        flow, target, transition_operator=op, n_intermediate_distributions=1,
+        loss_type=loss_type,
+    )
+
+
+def test_guarded_update_skips_nonfinite():
+    opt = make_optimizer(0.1, 1.0)
+    params = {"w": jnp.ones(3)}
+    opt_state = opt.init(params)
+    bad_grads = {"w": jnp.array([jnp.nan, 1.0, 1.0])}
+    new_params, new_opt_state, gnorm, ok = guarded_update(
+        opt, bad_grads, opt_state, params, jnp.asarray(1.0)
+    )
+    assert not bool(ok)
+    np.testing.assert_allclose(new_params["w"], params["w"])  # unchanged
+    good_grads = {"w": jnp.ones(3)}
+    new_params, _, _, ok = guarded_update(
+        opt, good_grads, opt_state, params, jnp.asarray(1.0)
+    )
+    assert bool(ok)
+    assert not np.allclose(new_params["w"], params["w"])
+    # Non-finite loss also skips.
+    _, _, _, ok = guarded_update(
+        opt, good_grads, opt_state, params, jnp.asarray(jnp.nan)
+    )
+    assert not bool(ok)
+
+
+def test_plain_trainer_improves(key, tmp_path):
+    model = small_gmm_model()
+    logger = ListLogger()
+    trainer = Trainer(
+        model, make_optimizer(5e-3, 100.0), logger=logger,
+        save_path=str(tmp_path),
+    )
+    state = trainer.run(
+        key, n_iterations=60, batch_size=128, eval_batch_size=256, n_eval=2,
+        n_checkpoints=2, log_every=1,
+    )
+    losses = logger.history["loss"]
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    assert "eval_ess_flow" in logger.history
+    assert int(state.step) == 60
+    # Checkpoints at linspace(1, 60, 2) = {1, 60}; latest is loadable.
+    from fab_tpu.checkpoint import latest_checkpoint
+
+    ckpt = latest_checkpoint(os.path.join(str(tmp_path), "model_checkpoints"))
+    assert ckpt and "iter_60" in ckpt
+    state2, it = trainer.load_state(ckpt)
+    assert it == 60
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(state2.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
+
+
+def test_plain_trainer_reverse_kl(key, tmp_path):
+    model = small_gmm_model("flow_reverse_kl")
+    logger = ListLogger()
+    trainer = Trainer(model, make_optimizer(5e-3, 100.0), logger=logger,
+                      save_path=str(tmp_path))
+    trainer.run(key, n_iterations=30, batch_size=128, log_every=1, save=False)
+    assert np.isfinite(logger.history["loss"]).all()
+
+
+def test_buffer_trainer_runs_and_adjusts(key, tmp_path):
+    target = ManyWellEnergy(dim=4)
+    flow = make_realnvp(4, n_flow_layers=3, layer_nodes_per_dim=8, act_norm=False)
+    op = HamiltonianMonteCarlo(
+        n_ais_intermediate_distributions=2, n_leapfrog=3, epsilon=1.0
+    )
+    model = FABModel.create(
+        flow, target, transition_operator=op, n_intermediate_distributions=2,
+        loss_type="fab_alpha_div",
+    )
+    buffer = PrioritisedReplayBuffer(dim=4, max_length=1024, min_sample_length=256)
+    logger = ListLogger()
+    trainer = PrioritisedBufferTrainer(
+        model, make_optimizer(1e-3, 100.0), buffer,
+        n_batches_buffer_sampling=2, w_adjust_max_clip=10.0, logger=logger,
+        save_path=str(tmp_path),
+    )
+    state = trainer.init_state(key, batch_size=64)
+    assert int(state.buffer_state.n_added) >= 256
+    state = trainer.run(
+        key, n_iterations=40, batch_size=64, eval_batch_size=128, n_eval=2,
+        n_checkpoints=2, log_every=1,
+    )
+    assert np.isfinite(logger.history["loss"]).all()
+    assert "w_adjust_mean" in logger.history
+    # Dual-target eval keys present (train_with_prioritised_buffer.py:96-99).
+    assert "eval_ess_ais_p_target" in logger.history
+    assert "eval_ess_ais_min_var_target" in logger.history
+    # Buffer priorities have been adjusted (not all zero-initialised).
+    lw = np.asarray(state.buffer_state.log_w)
+    assert np.std(lw[np.isfinite(lw)]) > 0
+    # Checkpoint roundtrip including buffer: latest checkpoint is iter 40 = final.
+    from fab_tpu.checkpoint import latest_checkpoint
+
+    ckpt = latest_checkpoint(os.path.join(str(tmp_path), "model_checkpoints"))
+    state2, it = trainer.load_state(ckpt)
+    assert it == 40
+    np.testing.assert_allclose(np.asarray(state2.buffer_state.log_w), lw)
+
+
+def test_gmm_experiment_entry_smoke(tmp_path, monkeypatch):
+    """Drive the CLI entry end-to-end with a tiny config (fast-config pattern)."""
+    monkeypatch.chdir(tmp_path)
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from experiments.run_gmm import main
+
+    cfg_overrides = [
+        "training.n_iterations=5",
+        "training.n_flow_forward_pass=null",
+        "target.true_expectation_n_samples=10000",
+        "flow.n_layers=2",
+        "flow.layer_nodes_per_dim=4",
+        "evaluation.n_plots=1",
+        "evaluation.n_eval=1",
+        "evaluation.n_checkpoints=1",
+        "evaluation.eval_batch_size=128",
+        f"evaluation.save_path={tmp_path}/results/",
+        "training.batch_size=64",
+    ]
+    main(["--config", "/root/repo/experiments/configs/gmm_fast.yaml"] + cfg_overrides)
+    # Logging history pickle written.
+    run_dirs = os.listdir(f"{tmp_path}/results")
+    assert run_dirs
+    contents = os.listdir(f"{tmp_path}/results/{run_dirs[0]}")
+    assert "logging_hist.pkl" in contents
+    assert "model_checkpoints" in contents and "plots" in contents
+
+
+def test_many_well_experiment_entry_smoke(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from experiments.run_many_well import main
+
+    cfg_overrides = [
+        "target.dim=4",
+        "training.n_iterations=3",
+        "training.batch_size=32",
+        "training.maximum_buffer_length=512",
+        "training.min_buffer_length=96",
+        "flow.n_layers=2",
+        "flow.layer_nodes_per_dim=4",
+        "fab.transition_operator.n_inner_steps=2",
+        "fab.n_intermediate_distributions=2",
+        "evaluation.n_plots=1",
+        "evaluation.n_eval=1",
+        "evaluation.n_checkpoints=1",
+        "evaluation.eval_batch_size=64",
+        f"evaluation.save_path={tmp_path}/results/",
+    ]
+    main(
+        ["--config", "/root/repo/experiments/configs/many_well_fast.yaml"]
+        + cfg_overrides
+    )
+    run_dirs = os.listdir(f"{tmp_path}/results")
+    assert run_dirs
