@@ -1,0 +1,73 @@
+"""LaTeX results-table emitter from an evaluation CSV.
+
+Analogue of experiments/gmm/latex_table.py:8-69 and
+experiments/many_well/latex_table.py:7-45: group rows by method (stripping _seedN),
+report mean +- sem for the headline metrics of each problem.
+
+Usage:
+    python experiments/latex_table.py --csv gmm_results.csv --problem gmm
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+from collections import defaultdict
+
+import numpy as np
+
+PROBLEM_METRICS = {
+    "gmm": [
+        ("eval_ess_flow", "ESS (flow)", 1),
+        ("eval_ess_ais", "ESS (AIS)", 1),
+        ("flow_test_set_mean_log_prob", r"$\log q(x)$ test", 1),
+        ("flow_kl_forward", "Fwd. KL", 1),
+        ("flow_bias_normed", r"Bias ($\times 100$)", 100),
+        ("flow_bias_no_correction", r"Bias uncorr. ($\times 100$)", 100),
+    ],
+    "many_well": [
+        ("eval_ess_flow", "ESS (flow)", 1),
+        ("flow_test_set_exact_mean_log_prob", r"$\log q(x)$ exact", 1),
+        ("flow_test_set_modes_mean_log_prob", r"$\log q(x)$ modes", 1),
+        ("flow_forward_kl", "Fwd. KL", 1),
+        ("ais_relative_MSE_Z_estimate", r"rel. err. $\hat Z$", 1),
+        ("ais_abs_MSE_log_Z_estimate", r"abs. err. $\log \hat Z$", 1),
+    ],
+    "lgcp": [
+        ("eval_ess_flow", "ESS (flow)", 1),
+        ("eval_ess_ais", "ESS (AIS)", 1),
+        ("ais_post_mean_field_rmse", "posterior-mean RMSE", 1),
+    ],
+}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--csv", required=True)
+    parser.add_argument("--problem", choices=PROBLEM_METRICS, default="gmm")
+    args = parser.parse_args(argv)
+
+    with open(args.csv) as f:
+        rows = list(csv.DictReader(f))
+    grouped = defaultdict(list)
+    for r in rows:
+        grouped[r["model_name"].rsplit("_seed", 1)[0]].append(r)
+
+    metrics = PROBLEM_METRICS[args.problem]
+    header = " & ".join(["Method"] + [label for _, label, _ in metrics])
+    print(header + r" \\")
+    print(r"\midrule")
+    for name, rs in grouped.items():
+        cells = [name.replace("_", r"\_")]
+        for key, _, scale in metrics:
+            vals = [float(r[key]) * scale for r in rs if r.get(key, "") != ""]
+            if not vals:
+                cells.append("--")
+                continue
+            mean = np.mean(vals)
+            sem = np.std(vals) / max(len(vals) - 1, 1) ** 0.5
+            cells.append(f"${mean:.3f} \\pm {sem:.3f}$")
+        print(" & ".join(cells) + r" \\")
+
+
+if __name__ == "__main__":
+    main()

@@ -11,3 +11,6 @@ __all__ = [
     "GMM",
     "ManyWellEnergy",
 ]
+from fab_tpu.targets.lgcp import LogGaussianCoxProcess  # noqa: E402
+
+__all__.append("LogGaussianCoxProcess")
