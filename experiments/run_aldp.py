@@ -1,0 +1,156 @@
+"""ALDP training entry point.
+
+Rework of experiments/aldp/train.py (reference's self-contained argparse script,
+:24-482) on top of the shared fab-tpu trainers: FAB + prioritised buffer on the
+60-D internal-coordinate Boltzmann target, with periodic ALDP evaluation
+(Ramachandran/marginal KLDs against an MCMC-generated test set) and chirality
+monitoring.
+
+Usage:
+    python experiments/run_aldp.py --config experiments/configs/aldp.yaml \
+        [training.max_iter=100 ...]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fab_tpu.buffer import PrioritisedReplayBuffer
+from fab_tpu.sampling import HamiltonianMonteCarlo, create_point
+from fab_tpu.train import PrioritisedBufferTrainer, Trainer, make_optimizer
+from fab_tpu.utils.aldp_eval import evaluate_aldp
+from fab_tpu.utils.logging import CSVLogger
+from fab_tpu.utils.training import apply_overrides, load_config
+
+from experiments.make_aldp_model import make_aldp_model
+
+
+def generate_test_set(target, key, n_samples=10_000, n_steps=400, n_chains=512):
+    """MCMC ground-truth-ish test set: long HMC at the target from the minimised
+    structure (replaces the reference's MD validation data, aldp train.py data/val)."""
+    op = HamiltonianMonteCarlo(
+        n_ais_intermediate_distributions=1, n_outer=1, n_leapfrog=10, epsilon=0.05
+    )
+    state = op.init_state(target.dim)
+    z0, _ = target.transform.cartesian_to_flow(jnp.asarray(target.ref_cartesian))
+    key, key_init = jax.random.split(key)
+    z = jnp.tile(z0, (n_chains, 1)) + 0.01 * jax.random.normal(
+        key_init, (n_chains, target.dim)
+    )
+    log_q = lambda x: jnp.zeros(x.shape[:-1])  # beta=1: pure target
+    point = create_point(z, log_q, target.log_prob, with_grad=True)
+    mask = jnp.ones(n_chains, bool)
+
+    @jax.jit
+    def sweep(point, state, key):
+        return op.transition(
+            state, key, point, jnp.asarray(1.0), jnp.asarray(0), log_q,
+            target.log_prob, 1.0, mask, True,
+        )
+
+    samples = []
+    burn_in = n_steps // 2
+    keep_every = max((n_steps - burn_in) * n_chains // n_samples, 1)
+    for step in range(n_steps):
+        key, sub = jax.random.split(key)
+        point, state, info = sweep(point, state, sub)
+        if step >= burn_in and (step - burn_in) % keep_every == 0:
+            samples.append(np.asarray(point.x))
+    data = np.concatenate(samples)[:n_samples]
+    return data
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="experiments/configs/aldp.yaml")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+    cfg = apply_overrides(load_config(args.config), args.overrides)
+
+    model, target = make_aldp_model(cfg)
+    t = cfg.training
+    save_root = cfg.training.save_root
+    os.makedirs(save_root, exist_ok=True)
+    logger = CSVLogger(
+        save_path=os.path.join(save_root, "logging_hist.csv"),
+        save_period=t.get("log_iter", 100),
+    )
+    optimizer = make_optimizer(t.learning_rate, t.get("max_grad_norm"))
+
+    key = jax.random.key(t.seed)
+    key, key_test = jax.random.split(key)
+    test_path = os.path.join(save_root, "test_set.npy")
+    if os.path.exists(test_path):
+        z_test = np.load(test_path)
+    else:
+        print("Generating MCMC test set ...")
+        z_test = generate_test_set(
+            target, key_test, n_samples=int(t.get("n_test_samples", 10_000))
+        )
+        np.save(test_path, z_test)
+
+    rb = cfg.training.replay_buffer
+    use_buffer = rb is not None and rb.get("type") == "prioritised"
+    batch_size = t.batch_size
+    if use_buffer:
+        buffer = PrioritisedReplayBuffer(
+            dim=target.dim,
+            max_length=rb.max_length * batch_size,
+            min_sample_length=rb.min_length * batch_size,
+        )
+        trainer = PrioritisedBufferTrainer(
+            model, optimizer, buffer,
+            n_batches_buffer_sampling=rb.n_updates,
+            w_adjust_max_clip=rb.get("max_adjust_w_clip"),
+            logger=logger,
+            save_path=save_root,
+        )
+        key, key_init = jax.random.split(key)
+        state = trainer.init_state(key_init, batch_size=batch_size)
+    else:
+        trainer = Trainer(model, optimizer, logger=logger, save_path=save_root)
+        key, key_init = jax.random.split(key)
+        state = trainer.init_state(key_init)
+
+    n_iter = t.max_iter
+    state = trainer.run(
+        key=key,
+        n_iterations=n_iter,
+        batch_size=batch_size,
+        eval_batch_size=t.get("eval_batch_size", batch_size),
+        n_eval=t.get("n_eval", 5),
+        n_checkpoints=t.get("n_checkpoints", 2),
+        tlimit=t.get("tlimit"),
+        state=state,
+        log_every=t.get("log_every", 10),
+    )
+
+    # Final ALDP-specific evaluation: flow samples vs MCMC test set.
+    print("Final ALDP evaluation ...")
+    n_eval_samples = int(t.get("final_eval_samples", 10_000))
+    zs = []
+    chunk = 1000
+    for i in range(0, n_eval_samples, chunk):
+        key, sub = jax.random.split(key)
+        zs.append(np.asarray(model.flow.sample(state.params["flow"], sub, chunk)))
+    z_sample = np.concatenate(zs)[:n_eval_samples]
+    metrics = evaluate_aldp(
+        target,
+        z_sample,
+        z_test,
+        iteration=n_iter,
+        metric_dir=os.path.join(save_root, "metrics"),
+        plot_dir=os.path.join(save_root, "plots"),
+    )
+    print({k: round(float(v), 5) for k, v in metrics.items()})
+
+
+if __name__ == "__main__":
+    main()

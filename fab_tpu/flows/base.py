@@ -81,28 +81,79 @@ class DiagGaussianBase:
 
 
 @dataclasses.dataclass(frozen=True)
+class UniformGaussianBase:
+    """Base that is uniform on circular dims and standard normal elsewhere.
+
+    Analogue of normflows' UniformGaussian base used for the ALDP flow
+    (experiments/make_flow/make_aldp_model.py:68-70): circular (periodic) internal
+    coordinates get a uniform density on [-bound, bound]; the rest are N(0, 1).
+    Non-trainable (params = {}), like the reference's.
+    """
+
+    dim: int
+    circular_dims: Tuple[int, ...]
+    circular_bound: float = float(jnp.pi)
+
+    def init(self, dtype=jnp.float32) -> Params:
+        del dtype
+        return {}
+
+    def _masks(self, dtype):
+        circ = jnp.zeros((self.dim,), bool).at[jnp.asarray(self.circular_dims)].set(True)
+        return circ
+
+    def sample_and_log_prob(
+        self, params: Params, key: jax.Array, n: int
+    ) -> Tuple[Array, Array]:
+        from fab_tpu.parallel.mesh import constrain_batch
+
+        key_g, key_u = jax.random.split(key)
+        circ = self._masks(jnp.float32)
+        gauss = jax.random.normal(key_g, (n, self.dim))
+        uni = jax.random.uniform(
+            key_u, (n, self.dim), minval=-self.circular_bound,
+            maxval=self.circular_bound,
+        )
+        z = constrain_batch(jnp.where(circ, uni, gauss))
+        return z, self.log_prob(params, z)
+
+    def log_prob(self, params: Params, z: Array) -> Array:
+        del params
+        circ = self._masks(z.dtype)
+        log_gauss = -0.5 * z**2 - 0.5 * jnp.log(2 * jnp.pi)
+        log_uni = jnp.where(
+            jnp.abs(z) <= self.circular_bound,
+            -jnp.log(2 * self.circular_bound),
+            -jnp.inf,
+        )
+        return jnp.sum(jnp.where(circ, log_uni, log_gauss), axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
 class Flow:
     """A composed normalizing flow q_theta: base + chain of bijectors.
 
     Provides the ``Distribution`` API of the reference (fab/types_.py:8-27):
     sample / log_prob / sample_and_log_prob, as pure functions of a param pytree.
+    ``base_dist`` defaults to a trainable diagonal Gaussian.
     """
 
     dim: int
     bijectors: Tuple[Bijector, ...]
+    base_dist: object = None  # DiagGaussianBase | UniformGaussianBase
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
-        keys = jax.random.split(key, len(self.bijectors))
+        keys = jax.random.split(key, max(len(self.bijectors), 1))
         return {
-            "base": DiagGaussianBase(self.dim).init(dtype),
+            "base": self.base.init(dtype),
             "layers": tuple(
                 b.init(k, self.dim, dtype) for b, k in zip(self.bijectors, keys)
             ),
         }
 
     @property
-    def base(self) -> DiagGaussianBase:
-        return DiagGaussianBase(self.dim)
+    def base(self):
+        return self.base_dist if self.base_dist is not None else DiagGaussianBase(self.dim)
 
     @property
     def event_shape(self) -> Tuple[int, ...]:
@@ -141,7 +192,7 @@ class Flow:
         from jax.sharding import PartitionSpec as P
 
         return {
-            "base": {"loc": P(), "log_scale": P()},
+            "base": jax.tree.map(lambda _: P(), self.base.init()),
             "layers": tuple(
                 b.param_sharding(self.dim, model_axis) for b in self.bijectors
             ),

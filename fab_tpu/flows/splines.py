@@ -147,11 +147,30 @@ class SplineCoupling(Bijector):
     n_hidden_layers: int = 2
     swap: bool = False
     circular_mask: Tuple[bool, ...] = ()
+    # Circular dims among the *conditioning* block get (sin, cos) features so the
+    # conditioner is continuous across the +-pi seam (analogue of normflows'
+    # PeriodicFeatures used in the reference ALDP flow, make_aldp_model.py:76).
+    circular_cond_mask: Tuple[bool, ...] = ()
 
     def _sizes(self, dim: int):
         d = (dim + 1) // 2
         d_cond, d_trans = (dim - d, d) if self.swap else (d, dim - d)
         return d_cond, d_trans
+
+    def _n_cond_features(self, d_cond: int) -> int:
+        if not self.circular_cond_mask:
+            return d_cond
+        assert len(self.circular_cond_mask) == d_cond
+        return d_cond + sum(self.circular_cond_mask)
+
+    def _cond_features(self, x_cond: Array) -> Array:
+        if not self.circular_cond_mask or not any(self.circular_cond_mask):
+            return x_cond
+        ci = jnp.asarray([j for j, c in enumerate(self.circular_cond_mask) if c])
+        angles = x_cond[..., ci]
+        # Replace raw circular values with sin, append cos as extra features.
+        feats = x_cond.at[..., ci].set(jnp.sin(angles))
+        return jnp.concatenate([feats, jnp.cos(angles)], axis=-1)
 
     def _params_per_dim(self) -> int:
         # widths K + heights K + derivs K (circular) or K-1 (linear tails); use 3K
@@ -161,7 +180,7 @@ class SplineCoupling(Bijector):
     def init(self, key: jax.Array, dim: int, dtype=jnp.float32):
         d_cond, d_trans = self._sizes(dim)
         sizes = (
-            [d_cond]
+            [self._n_cond_features(d_cond)]
             + [self.hidden_units] * self.n_hidden_layers
             + [d_trans * self._params_per_dim()]
         )
@@ -179,7 +198,7 @@ class SplineCoupling(Bijector):
         return jnp.concatenate([x_cond, y_trans], axis=-1)
 
     def _spline_params(self, params, x_cond: Array, d_trans: int):
-        h = mlp_apply(params["mlp"], x_cond)
+        h = mlp_apply(params["mlp"], self._cond_features(x_cond))
         h = h.reshape(h.shape[:-1] + (d_trans, self._params_per_dim()))
         k = self.n_bins
         return h[..., :k], h[..., k : 2 * k], h[..., 2 * k :]
@@ -236,8 +255,42 @@ class SplineCoupling(Bijector):
     def param_sharding(self, dim: int, model_axis: str):
         d_cond, d_trans = self._sizes(dim)
         sizes = (
-            [d_cond]
+            [self._n_cond_features(d_cond)]
             + [self.hidden_units] * self.n_hidden_layers
             + [d_trans * self._params_per_dim()]
         )
         return {"mlp": list(mlp_param_sharding(sizes, model_axis))}
+
+
+@dataclasses.dataclass(frozen=True)
+class PeriodicShift(Bijector):
+    """Constant shift-and-rewrap of circular dims (log-det 0).
+
+    Analogue of nf.flows.PeriodicShift used between ALDP flow blocks
+    (make_aldp_model.py:147-152) so mode boundaries don't pin at the +-pi seam.
+    """
+
+    circular_dims: Tuple[int, ...]
+    shift: float
+    bound: float = float(jnp.pi)
+
+    def init(self, key: jax.Array, dim: int, dtype=jnp.float32):
+        del key, dim, dtype
+        return {}
+
+    def _apply(self, x: Array, direction: float) -> Array:
+        ci = jnp.asarray(self.circular_dims)
+        vals = x[..., ci] + direction * self.shift
+        wrapped = jnp.mod(vals + self.bound, 2 * self.bound) - self.bound
+        return x.at[..., ci].set(wrapped)
+
+    def forward_and_log_det(self, params, z: Array):
+        del params
+        return self._apply(z, 1.0), jnp.zeros(z.shape[:-1], z.dtype)
+
+    def inverse_and_log_det(self, params, x: Array):
+        del params
+        return self._apply(x, -1.0), jnp.zeros(x.shape[:-1], x.dtype)
+
+    def param_sharding(self, dim: int, model_axis: str):
+        return {}

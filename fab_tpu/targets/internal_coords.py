@@ -1,0 +1,266 @@
+"""Z-matrix internal-coordinate transform (Cartesian <-> internal, with log-det).
+
+Pure-JAX rework of boltzgen's CoordinateTransform used by the reference ALDP target
+(fab/target_distributions/aldp.py:140-144). Given a z-matrix — a list of
+(atom, (bond_ref, angle_ref, dih_ref)) — and three "seed" atoms that fix the rigid
+body frame, the transform maps
+
+  internal  z = [b1, b2, a2, bonds(19), angles(19), dihedrals(19)]  (3N - 6 dims)
+  <->  gauge-fixed Cartesian coordinates (seed1 at origin, seed2 on +x, seed3 in the
+       xy-half-plane y > 0; the chirality of everything else is carried by the
+       dihedral signs).
+
+Forward placement uses the standard NeRF construction; the log-det of
+d(cartesian)/d(internal) is sum log(b^2 sin(theta)) over z-matrix atoms plus log(b2)
+for the planar seed atom (spherical / polar volume elements).
+
+A ``NormalizedInternalTransform`` additionally standardises non-circular coordinates
+with per-dim mean/std (circular dihedrals are left on [-pi, pi]), matching the
+reference's normalisation with default stds for single-frame transform data
+(aldp.py:22, boltzgen behaviour).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+def _normalize(v: Array, eps: float = 1e-12) -> Array:
+    return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + eps)
+
+
+def dihedral_angle(p0: Array, p1: Array, p2: Array, p3: Array) -> Array:
+    """Signed dihedral of the chain p0-p1-p2-p3 in [-pi, pi] (IUPAC sign)."""
+    b0 = p1 - p0
+    b1 = p2 - p1
+    b2 = p3 - p2
+    n1 = jnp.cross(b0, b1)
+    n2 = jnp.cross(b1, b2)
+    m1 = jnp.cross(n1, _normalize(b1))
+    x = jnp.sum(n1 * n2, -1)
+    y = jnp.sum(m1 * n2, -1)
+    return jnp.arctan2(y, x)
+
+
+def bond_angle(p0: Array, p1: Array, p2: Array) -> Array:
+    """Angle p0-p1-p2 in (0, pi)."""
+    u = _normalize(p0 - p1)
+    v = _normalize(p2 - p1)
+    return jnp.arccos(jnp.clip(jnp.sum(u * v, -1), -1.0, 1.0))
+
+
+@dataclasses.dataclass(frozen=True)
+class ZMatrixTransform:
+    """Static z-matrix spec; all methods are pure and batched over particles."""
+
+    n_atoms: int
+    z_matrix: Tuple[Tuple[int, Tuple[int, int, int]], ...]
+    cart_indices: Tuple[int, int, int]  # (origin, +x axis, xy-plane)
+
+    @property
+    def dim_internal(self) -> int:
+        return 3 * self.n_atoms - 6
+
+    @property
+    def n_z(self) -> int:
+        return len(self.z_matrix)
+
+    # ------------------------------------------------------------------ inverse
+
+    def cartesian_to_internal(self, x: Array) -> Tuple[Array, Array]:
+        """[B, n_atoms*3] cartesian -> ([B, 3N-6] internal, [B] log|d int / d cart|).
+
+        The returned log-det is that of the *gauge-fixed* map (the rigid-body dofs
+        are removed by construction, not integrated).
+        """
+        pos = x.reshape(x.shape[:-1] + (self.n_atoms, 3))
+        s1, s2, s3 = self.cart_indices
+        b1 = jnp.linalg.norm(pos[..., s2, :] - pos[..., s1, :], axis=-1)
+        b2 = jnp.linalg.norm(pos[..., s3, :] - pos[..., s1, :], axis=-1)
+        a2 = bond_angle(pos[..., s2, :], pos[..., s1, :], pos[..., s3, :])
+        bonds, angles, dihs = [], [], []
+        for atom, (r1, r2, r3) in self.z_matrix:
+            p = pos[..., atom, :]
+            q1, q2, q3 = (pos[..., r, :] for r in (r1, r2, r3))
+            bonds.append(jnp.linalg.norm(p - q1, axis=-1))
+            angles.append(bond_angle(p, q1, q2))
+            dihs.append(dihedral_angle(p, q1, q2, q3))
+        bonds = jnp.stack(bonds, -1)
+        angles = jnp.stack(angles, -1)
+        dihs = jnp.stack(dihs, -1)
+        internal = jnp.concatenate(
+            [jnp.stack([b1, b2, a2], -1), bonds, angles, dihs], -1
+        )
+        log_det_cart_to_int = -(
+            jnp.log(b2)
+            + jnp.sum(2 * jnp.log(bonds) + jnp.log(jnp.sin(angles)), -1)
+        )
+        return internal, log_det_cart_to_int
+
+    # ------------------------------------------------------------------ forward
+
+    def internal_to_cartesian(self, z: Array) -> Tuple[Array, Array]:
+        """[B, 3N-6] internal -> ([B, n_atoms*3] gauge-fixed cartesian,
+        [B] log|d cart / d int|)."""
+        n_z = self.n_z
+        b1 = z[..., 0]
+        b2 = z[..., 1]
+        a2 = z[..., 2]
+        bonds = z[..., 3 : 3 + n_z]
+        angles = z[..., 3 + n_z : 3 + 2 * n_z]
+        dihs = z[..., 3 + 2 * n_z :]
+
+        batch_shape = z.shape[:-1]
+        pos = jnp.zeros(batch_shape + (self.n_atoms, 3), z.dtype)
+        s1, s2, s3 = self.cart_indices
+        pos = pos.at[..., s2, :].set(
+            jnp.stack([b1, jnp.zeros_like(b1), jnp.zeros_like(b1)], -1)
+        )
+        pos = pos.at[..., s3, :].set(
+            jnp.stack(
+                [b2 * jnp.cos(a2), b2 * jnp.sin(a2), jnp.zeros_like(b2)], -1
+            )
+        )
+        # NeRF placement, in z-matrix order (references must already be placed —
+        # the z-matrix is assumed topologically sorted wrt the seed, which holds
+        # for the ALDP spec after one reordering pass at construction).
+        order = self._placement_order()
+        for k in order:
+            atom, (r1, r2, r3) = self.z_matrix[k]
+            d = bonds[..., k]
+            theta = angles[..., k]
+            phi = dihs[..., k]
+            a_pos = pos[..., r1, :]
+            b_pos = pos[..., r2, :]
+            c_pos = pos[..., r3, :]
+            bc = _normalize(a_pos - b_pos)
+            n = _normalize(jnp.cross(b_pos - c_pos, bc))
+            m = jnp.cross(n, bc)
+            # Sign of the n-component chosen so that
+            # dihedral_angle(P, r1, r2, r3) == phi exactly.
+            d_vec = (
+                -d[..., None] * jnp.cos(theta)[..., None] * bc
+                + d[..., None]
+                * jnp.sin(theta)[..., None]
+                * (jnp.cos(phi)[..., None] * m - jnp.sin(phi)[..., None] * n)
+            )
+            pos = pos.at[..., atom, :].set(a_pos + d_vec)
+        log_det = jnp.log(b2) + jnp.sum(
+            2 * jnp.log(bonds) + jnp.log(jnp.sin(angles)), -1
+        )
+        return pos.reshape(batch_shape + (self.n_atoms * 3,)), log_det
+
+    def _placement_order(self) -> Tuple[int, ...]:
+        """Topological order of z-matrix rows st. every reference is placed."""
+        placed = set(self.cart_indices)
+        remaining = dict(enumerate(self.z_matrix))
+        order = []
+        while remaining:
+            progressed = False
+            for k in sorted(remaining):
+                atom, refs = remaining[k]
+                if all(r in placed for r in refs):
+                    order.append(k)
+                    placed.add(atom)
+                    del remaining[k]
+                    progressed = True
+            if not progressed:
+                raise ValueError("z-matrix has unresolvable reference ordering")
+        return tuple(order)
+
+
+# ---------------------------------------------------------------- normalisation
+
+
+@dataclasses.dataclass(frozen=True)
+class NormalizedInternalTransform:
+    """Z-matrix transform composed with per-dim standardisation.
+
+    Non-circular dims: z = (i - mean) / std. Circular dihedrals (by z-matrix row
+    index) are left unscaled on [-pi, pi] (optionally mean-shifted and re-wrapped),
+    mirroring boltzgen's handling (reference aldp.py:20-22,140-144).
+
+    ``flow space`` (normalised) -> internal -> cartesian; log-dets compose.
+    """
+
+    zmat: ZMatrixTransform
+    mean: np.ndarray  # [dim_internal]
+    std: np.ndarray  # [dim_internal]
+    circular_dims: Tuple[int, ...]  # indices into the internal vector
+
+    @classmethod
+    def from_data(
+        cls,
+        zmat: ZMatrixTransform,
+        cartesian_data: np.ndarray,
+        ind_circ_dih: Sequence[int] = (),
+        default_std: dict = None,
+    ) -> "NormalizedInternalTransform":
+        """Fit mean/std from reference configurations (aldp.py:103-137).
+
+        With a single frame the stds collapse, so the reference's default stds per
+        coordinate class are used instead ({'bond': 0.005, 'angle': 0.15,
+        'dih': 0.2}, aldp.py:22).
+        """
+        default_std = default_std or {"bond": 0.005, "angle": 0.15, "dih": 0.2}
+        data = jnp.asarray(cartesian_data).reshape(-1, zmat.n_atoms * 3)
+        internal, _ = zmat.cartesian_to_internal(data)
+        internal = np.asarray(internal)
+        mean = internal.mean(0)
+        std = internal.std(0)
+        n_z = zmat.n_z
+        classes = (
+            ["bond", "bond", "angle"]
+            + ["bond"] * n_z
+            + ["angle"] * n_z
+            + ["dih"] * n_z
+        )
+        min_frames = 10
+        if internal.shape[0] < min_frames:
+            std = np.array([default_std[c] for c in classes])
+        circular = tuple(3 + 2 * n_z + int(i) for i in ind_circ_dih)
+        for c_idx in circular:
+            mean[c_idx] = 0.0
+            std[c_idx] = 1.0
+        return cls(zmat, mean, std, circular)
+
+    @property
+    def dim(self) -> int:
+        return self.zmat.dim_internal
+
+    @property
+    def circular_flow_dims(self) -> Tuple[int, ...]:
+        return self.circular_dims
+
+    def _std_logdet(self) -> float:
+        return float(np.sum(np.log(self.std)))
+
+    def flow_to_cartesian(self, z_flow: Array) -> Tuple[Array, Array]:
+        """normalised flow coords -> cartesian; log-det of d cart / d flow."""
+        mean = jnp.asarray(self.mean, z_flow.dtype)
+        std = jnp.asarray(self.std, z_flow.dtype)
+        internal = z_flow * std + mean
+        # Keep circular dihedrals wrapped.
+        if self.circular_dims:
+            ci = jnp.asarray(self.circular_dims)
+            wrapped = jnp.mod(internal[..., ci] + jnp.pi, 2 * jnp.pi) - jnp.pi
+            internal = internal.at[..., ci].set(wrapped)
+        x, log_det = self.zmat.internal_to_cartesian(internal)
+        return x, log_det + self._std_logdet()
+
+    def cartesian_to_flow(self, x: Array) -> Tuple[Array, Array]:
+        internal, log_det = self.zmat.cartesian_to_internal(x)
+        mean = jnp.asarray(self.mean, x.dtype)
+        std = jnp.asarray(self.std, x.dtype)
+        z_flow = (internal - mean) / std
+        if self.circular_dims:
+            ci = jnp.asarray(self.circular_dims)
+            wrapped = jnp.mod(z_flow[..., ci] + jnp.pi, 2 * jnp.pi) - jnp.pi
+            z_flow = z_flow.at[..., ci].set(wrapped)
+        return z_flow, log_det - self._std_logdet()

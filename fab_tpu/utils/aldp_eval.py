@@ -1,0 +1,193 @@
+"""ALDP evaluation: marginal KLDs, Ramachandran metrics, chirality filter.
+
+Rework of fab/utils/aldp.py:13-323. Metrics (same definitions/binning as the
+reference): per-dimension 200-bin histogram KLDs of the normalised internal
+coordinates split into bond/angle/dihedral groups (aldp.py:73-107); 1-D KLDs of the
+backbone phi/psi dihedrals and the 2-D 64-bin Ramachandran KLD (aldp.py:109-148) —
+computed with our own dihedral geometry (fab_tpu/targets/internal_coords.py) instead
+of mdtraj; CSV metric appends and marginal/Ramachandran plots.
+
+Our internal layout is [b1, b2, a2 | bonds(19) | angles(19) | dihedrals(19)], so the
+group split is a fixed slicing (the reference reconstructs it through boltzgen index
+arrays, aldp.py:81-107).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+N_Z = 19
+BOND_DIMS = tuple([0, 1] + list(range(3, 3 + N_Z)))
+ANGLE_DIMS = tuple([2] + list(range(3 + N_Z, 3 + 2 * N_Z)))
+DIH_DIMS = tuple(range(3 + 2 * N_Z, 3 + 3 * N_Z))
+
+# Dihedral flow-dims of HA (atom 9, z-row 7) and CB (atom 10, z-row 8) about the
+# CA-N axis: their wrapped difference distinguishes the L- from the D-form
+# (analogue of fab/utils/aldp.py:308-323 which uses its own layout's indices).
+CHIRALITY_DIMS = (3 + 2 * N_Z + 7, 3 + 2 * N_Z + 8)
+
+
+def _hist_kld(test: np.ndarray, gen: np.ndarray, nbins: int, lo: float, hi: float):
+    """KLD(test || gen) from density histograms (aldp.py:73-79 semantics)."""
+    eps = 1e-10
+    htest, _ = np.histogram(test, nbins, range=(lo, hi), density=True)
+    hgen, _ = np.histogram(gen, nbins, range=(lo, hi), density=True)
+    return float(
+        np.sum(htest * np.log((htest + eps) / (hgen + eps))) * (hi - lo) / nbins
+    )
+
+
+def _wrap(a: np.ndarray) -> np.ndarray:
+    return (a + np.pi) % (2 * np.pi) - np.pi
+
+
+def filter_chirality(
+    z_flow: np.ndarray,
+    ind=CHIRALITY_DIMS,
+    mean_diff: Optional[float] = None,
+    threshold: float = 0.8,
+) -> np.ndarray:
+    """Boolean mask of samples in the canonical (L-like) chirality basin.
+
+    The difference of the HA and CB dihedrals about the CA frame sits near +-2pi/3
+    depending on handedness; samples within ``threshold`` of ``mean_diff`` pass.
+    With ``mean_diff=None`` the canonical value -2pi/3 is used (our idealised
+    reference geometry's handedness; the reference hard-codes its own layout's
+    -0.043, aldp.py:308).
+    """
+    if mean_diff is None:
+        mean_diff = -2.0 * np.pi / 3.0
+    diff = _wrap(z_flow[:, ind[0]] - z_flow[:, ind[1]])
+    return np.abs(_wrap(diff - mean_diff)) < threshold
+
+
+def evaluate_aldp(
+    target,
+    z_sample: np.ndarray,
+    z_test: np.ndarray,
+    iteration: int = 0,
+    metric_dir: Optional[str] = None,
+    plot_dir: Optional[str] = None,
+    batch_size: int = 1000,
+) -> Dict[str, float]:
+    """Compute the reference's ALDP metric suite; optionally append CSVs + plots.
+
+    ``z_sample`` / ``z_test`` are flow-space (normalised internal) configurations;
+    ``target`` is a fab_tpu AldpBoltzmann (provides phi_psi and the transform).
+    """
+    import jax.numpy as jnp
+
+    z_sample = np.asarray(z_sample)
+    z_test = np.asarray(z_test)
+
+    # Marginal KLDs over normalised internal coords (aldp.py:60-107).
+    nbins = 200
+    lo, hi = -5.0, 5.0
+    dim = z_sample.shape[1]
+    kld = np.array(
+        [
+            _hist_kld(z_test[:, i], z_sample[:, i], nbins, lo, hi)
+            if i not in DIH_DIMS
+            else _hist_kld(
+                _wrap(z_test[:, i]), _wrap(z_sample[:, i]), nbins, -np.pi, np.pi
+            )
+            for i in range(dim)
+        ]
+    )
+    kld_bond = kld[list(BOND_DIMS)]
+    kld_angle = kld[list(ANGLE_DIMS)]
+    kld_dih = kld[list(DIH_DIMS)]
+
+    # phi/psi + Ramachandran KLDs (aldp.py:109-148).
+    def phi_psi(z):
+        out_phi, out_psi = [], []
+        for start in range(0, len(z), batch_size):
+            p, s = target.phi_psi(jnp.asarray(z[start : start + batch_size]))
+            out_phi.append(np.asarray(p))
+            out_psi.append(np.asarray(s))
+        return np.concatenate(out_phi), np.concatenate(out_psi)
+
+    phi, psi = phi_psi(z_sample)
+    phi_d, psi_d = phi_psi(z_test)
+    ok = np.isfinite(phi) & np.isfinite(psi)
+    phi, psi = phi[ok], psi[ok]
+    ok_d = np.isfinite(phi_d) & np.isfinite(psi_d)
+    phi_d, psi_d = phi_d[ok_d], psi_d[ok_d]
+
+    kld_phi = _hist_kld(phi_d, phi, nbins, -np.pi, np.pi)
+    kld_psi = _hist_kld(psi_d, psi, nbins, -np.pi, np.pi)
+
+    nbins_ram = 64
+    eps = 1e-10
+    h_test = np.histogram2d(
+        phi_d, psi_d, nbins_ram, range=[[-np.pi, np.pi]] * 2, density=True
+    )[0]
+    h_gen = np.histogram2d(
+        phi, psi, nbins_ram, range=[[-np.pi, np.pi]] * 2, density=True
+    )[0]
+    kld_ram = float(
+        np.sum(h_test * np.log((h_test + eps) / (h_gen + eps)))
+        * (2 * np.pi / nbins_ram) ** 2
+    )
+
+    metrics = {
+        "iter": iteration,
+        "kld_bond_mean": float(kld_bond.mean()),
+        "kld_bond_max": float(kld_bond.max()),
+        "kld_angle_mean": float(kld_angle.mean()),
+        "kld_angle_max": float(kld_angle.max()),
+        "kld_dih_mean": float(kld_dih.mean()),
+        "kld_dih_max": float(kld_dih.max()),
+        "kld_phi": kld_phi,
+        "kld_psi": kld_psi,
+        "kld_ram": kld_ram,
+        "frac_L_form": float(np.mean(filter_chirality(z_sample))),
+    }
+
+    if metric_dir is not None:
+        os.makedirs(metric_dir, exist_ok=True)
+        path = os.path.join(metric_dir, "metrics.csv")
+        header = not os.path.exists(path)
+        with open(path, "a") as f:
+            if header:
+                f.write(",".join(metrics.keys()) + "\n")
+            f.write(",".join(str(v) for v in metrics.values()) + "\n")
+
+    if plot_dir is not None:
+        os.makedirs(plot_dir, exist_ok=True)
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axs = plt.subplots(1, 2, figsize=(10, 4))
+        axs[0].hist2d(
+            phi_d, psi_d, bins=nbins_ram, range=[[-np.pi, np.pi]] * 2,
+            cmap="viridis",
+        )
+        axs[0].set_title("test data")
+        axs[1].hist2d(
+            phi, psi, bins=nbins_ram, range=[[-np.pi, np.pi]] * 2, cmap="viridis"
+        )
+        axs[1].set_title("model samples")
+        for ax in axs:
+            ax.set_xlabel(r"$\phi$")
+            ax.set_ylabel(r"$\psi$")
+        fig.savefig(os.path.join(plot_dir, f"ramachandran_{iteration:06d}.png"))
+        plt.close(fig)
+
+        # Marginal overlays for the dihedral group (the interesting one).
+        fig, axs = plt.subplots(4, 5, figsize=(16, 10))
+        for j, d in enumerate(DIH_DIMS):
+            ax = axs.ravel()[j]
+            ax.hist(_wrap(z_test[:, d]), 60, density=True, alpha=0.5, label="test")
+            ax.hist(_wrap(z_sample[:, d]), 60, density=True, alpha=0.5, label="model")
+            ax.set_title(f"dih {j}")
+        axs.ravel()[0].legend()
+        fig.tight_layout()
+        fig.savefig(os.path.join(plot_dir, f"marginals_dih_{iteration:06d}.png"))
+        plt.close(fig)
+
+    return metrics

@@ -1,0 +1,149 @@
+"""ALDP stack tests: z-matrix transform, force field, native C++ server, target."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fab_tpu.targets.aldp import (
+    CART_INDICES,
+    N_ATOMS,
+    Z_MATRIX,
+    AldpBoltzmann,
+    _ideal_internal_coords,
+)
+from fab_tpu.targets.aldp_ff import build_tables, energy_kcal
+from fab_tpu.targets.internal_coords import ZMatrixTransform
+
+
+@pytest.fixture(scope="module")
+def zmat():
+    return ZMatrixTransform(
+        n_atoms=N_ATOMS, z_matrix=Z_MATRIX, cart_indices=CART_INDICES
+    )
+
+
+@pytest.fixture(scope="module")
+def target():
+    return AldpBoltzmann(temperature=300.0, minimise_steps=2000)
+
+
+def test_zmatrix_roundtrip(zmat, key):
+    z0 = jnp.asarray(_ideal_internal_coords(zmat))[None]
+    z = z0 + 0.05 * jax.random.normal(key, (16, 60))
+    x, ld_fwd = zmat.internal_to_cartesian(z)
+    z_rec, ld_inv = zmat.cartesian_to_internal(x)
+    d = np.array(z_rec - z)
+    d[:, 3 + 2 * 19 :] = (d[:, 3 + 2 * 19 :] + np.pi) % (2 * np.pi) - np.pi
+    assert np.max(np.abs(d)) < 1e-4
+    np.testing.assert_allclose(ld_fwd, -ld_inv, atol=1e-3)
+
+
+def test_zmatrix_logdet_vs_autodiff(zmat, key):
+    """Log-det of internal->cartesian restricted to the gauge-fixed submanifold:
+    check via the square Jacobian of (internal -> free cartesian components)."""
+    z0 = jnp.asarray(_ideal_internal_coords(zmat), jnp.float32)
+    # Free cartesian components: all atoms except seed1 (origin), plus seed2 x
+    # coordinate, plus seed3 (x, y).
+    s1, s2, s3 = zmat.cart_indices
+    free = []
+    for a in range(N_ATOMS):
+        if a == s1:
+            continue
+        if a == s2:
+            free.append(3 * a)  # only x
+        elif a == s3:
+            free.extend([3 * a, 3 * a + 1])  # x, y
+        else:
+            free.extend([3 * a, 3 * a + 1, 3 * a + 2])
+    free = jnp.asarray(free)
+
+    def fwd(z):
+        x, _ = zmat.internal_to_cartesian(z[None])
+        return x[0][free]
+
+    jac = jax.jacobian(fwd)(z0)
+    sign, logdet = np.linalg.slogdet(np.asarray(jac, np.float64))
+    _, ld = zmat.internal_to_cartesian(z0[None])
+    np.testing.assert_allclose(float(ld[0]), logdet, rtol=1e-4, atol=1e-3)
+
+
+def test_forcefield_cpp_matches_jax(key):
+    tables = build_tables()
+    native = pytest.importorskip("fab_tpu.native")
+    server = native.AldpEnergyServer(tables, n_threads=2)
+    x = (
+        jax.random.normal(key, (8, 22, 3)) * 2.0
+        + jnp.arange(22)[None, :, None] * 0.5
+    )
+    e_cpp, f_cpp = server.energy_and_force(np.asarray(x, np.float64))
+    e_jax = energy_kcal(tables, x)
+    g_jax = jax.vmap(jax.grad(lambda p: energy_kcal(tables, p)))(x)
+    np.testing.assert_allclose(
+        e_cpp, np.asarray(e_jax, np.float64), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        -f_cpp, np.asarray(g_jax, np.float64), rtol=1e-2, atol=5e-2
+    )
+
+
+def test_target_log_prob_and_grad(target, key):
+    z_min, _ = target.transform.cartesian_to_flow(jnp.asarray(target.ref_cartesian))
+    z = z_min + 0.1 * jax.random.normal(key, (32, 60))
+    lp = target.log_prob(z)
+    assert bool(jnp.all(jnp.isfinite(lp)))
+    # Minimum has (near-)highest density among local perturbations.
+    assert float(target.log_prob(z_min)[0]) > float(jnp.mean(lp))
+    g = jax.grad(lambda zz: jnp.sum(target.log_prob(zz)))(z)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_energy_regularisation(target):
+    # Absurd configuration -> regularised, finite, <= energy_max.
+    z_far = jnp.full((2, 60), 50.0)
+    lp = target.log_prob(z_far)
+    assert bool(jnp.all(jnp.isfinite(lp) | (lp == -jnp.inf)))
+    u = target.reduced_energy(
+        target.transform.flow_to_cartesian(z_far)[0]
+    )
+    assert bool(jnp.all(u <= target.energy_max))
+
+
+def test_phi_psi(target, key):
+    z_min, _ = target.transform.cartesian_to_flow(jnp.asarray(target.ref_cartesian))
+    phi, psi = target.phi_psi(z_min)
+    assert bool(jnp.all(jnp.abs(phi) <= jnp.pi))
+    assert bool(jnp.all(jnp.abs(psi) <= jnp.pi))
+
+
+def test_aldp_flow_factory(key):
+    from experiments.make_aldp_model import make_aldp_flow
+
+    circ = (45, 48, 52)
+    flow = make_aldp_flow(60, circ, n_blocks=2, hidden_units=16, n_bins=4)
+    params = flow.init(key)
+    x, log_q = flow.sample_and_log_prob(params, key, 32)
+    assert x.shape == (32, 60)
+    assert bool(jnp.all(jnp.isfinite(log_q)))
+    # Circular dims stay within [-pi, pi] through the whole flow.
+    assert bool(jnp.all(jnp.abs(x[:, jnp.asarray(circ)]) <= jnp.pi + 1e-5))
+    log_q2 = flow.log_prob(params, x)
+    np.testing.assert_allclose(log_q, log_q2, atol=5e-3, rtol=1e-4)
+
+
+def test_evaluate_aldp_runs(target, key):
+    from fab_tpu.utils.aldp_eval import evaluate_aldp, filter_chirality
+
+    z_min, _ = target.transform.cartesian_to_flow(jnp.asarray(target.ref_cartesian))
+    z_a = np.asarray(z_min + 0.05 * jax.random.normal(key, (500, 60)))
+    z_b = np.asarray(
+        z_min + 0.05 * jax.random.normal(jax.random.fold_in(key, 1), (500, 60))
+    )
+    metrics = evaluate_aldp(target, z_a, z_b)
+    for k in ("kld_bond_mean", "kld_dih_mean", "kld_phi", "kld_ram"):
+        assert np.isfinite(metrics[k])
+    # Same-distribution samples: small KLDs.
+    assert metrics["kld_ram"] < 5.0
+    # Chirality filter passes the reference structure's own basin.
+    assert filter_chirality(z_a).mean() > 0.9
