@@ -97,17 +97,37 @@ def setup_mesh(cfg: ConfigDict) -> None:
 def setup_model(cfg: ConfigDict, target) -> FABModel:
     """Build flow + transition operator + FABModel (setup_run.py:151-228)."""
     dim = cfg.target.dim
-    if cfg.flow.get("resampled_base") or cfg.flow.get("use_snf"):
-        raise NotImplementedError(
-            "resampled-base / SNF flows are not implemented yet in fab-tpu"
+    if cfg.flow.get("resampled_base"):
+        from fab_tpu.flows.factory import make_resampled_realnvp
+
+        flow = make_resampled_realnvp(
+            dim,
+            n_flow_layers=cfg.flow.n_layers,
+            layer_nodes_per_dim=cfg.flow.layer_nodes_per_dim,
+            act_norm=cfg.flow.act_norm,
         )
-    flow = make_realnvp(
-        dim,
-        n_flow_layers=cfg.flow.n_layers,
-        layer_nodes_per_dim=cfg.flow.layer_nodes_per_dim,
-        act_norm=cfg.flow.act_norm,
-        scale_cap=cfg.flow.get("scale_cap", 0.0),
-    )
+    elif cfg.flow.get("use_snf"):
+        from fab_tpu.flows.snf import make_snf_model
+
+        snf_cfg = cfg.flow.snf
+        flow = make_snf_model(
+            dim,
+            target_log_prob=target.log_prob,
+            n_flow_layers=cfg.flow.n_layers,
+            layer_nodes_per_dim=cfg.flow.layer_nodes_per_dim,
+            act_norm=cfg.flow.act_norm,
+            it_snf_layer=snf_cfg.get("it_snf_layer", 2),
+            mh_prop_scale=snf_cfg.get("step_size", 0.1),
+            mh_steps=snf_cfg.get("num_steps", 10),
+        )
+    else:
+        flow = make_realnvp(
+            dim,
+            n_flow_layers=cfg.flow.n_layers,
+            layer_nodes_per_dim=cfg.flow.layer_nodes_per_dim,
+            act_norm=cfg.flow.act_norm,
+            scale_cap=cfg.flow.get("scale_cap", 0.0),
+        )
     to_cfg = cfg.fab.transition_operator
     if to_cfg.type == "hmc":
         transition_operator = HamiltonianMonteCarlo(

@@ -23,8 +23,13 @@ def make_realnvp(
     layer_nodes_per_dim: int = 10,
     act_norm: bool = True,
     scale_cap: float = 0.0,
+    fused: bool = False,
 ) -> Flow:
-    """RealNVP stack: coupling + LU-linear (+ ActNorm) per layer."""
+    """RealNVP stack: coupling + LU-linear (+ ActNorm) per layer.
+
+    ``fused=True`` returns a FusedRealNVPFlow whose whole forward/inverse pass runs
+    as one Pallas kernel on TPU (requires act_norm=False, scale_cap=0).
+    """
     bijectors: Tuple[Bijector, ...] = ()
     width = dim * layer_nodes_per_dim
     for _ in range(n_flow_layers):
@@ -32,7 +37,39 @@ def make_realnvp(
         bijectors += (LULinear(),)
         if act_norm:
             bijectors += (ActNorm(),)
+    if fused:
+        from fab_tpu.flows.fused import FusedRealNVPFlow
+
+        assert not act_norm and scale_cap == 0.0, (
+            "fused RealNVP requires the plain coupling+LU structure"
+        )
+        return FusedRealNVPFlow(dim=dim, bijectors=bijectors)
     return Flow(dim=dim, bijectors=bijectors)
+
+
+def make_resampled_realnvp(
+    dim: int,
+    n_flow_layers: int = 5,
+    layer_nodes_per_dim: int = 10,
+    act_norm: bool = True,
+    a_hidden_units: int = 256,
+    a_hidden_layers: int = 2,
+    T: int = 100,
+) -> Flow:
+    """RealNVP over a LARS resampled-Gaussian base
+    (make_normflow_model.py:131-158)."""
+    from fab_tpu.flows.resampled import ResampledGaussianBase
+
+    flow = make_realnvp(
+        dim,
+        n_flow_layers=n_flow_layers,
+        layer_nodes_per_dim=layer_nodes_per_dim,
+        act_norm=act_norm,
+    )
+    base = ResampledGaussianBase(
+        dim=dim, hidden_units=a_hidden_units, n_hidden_layers=a_hidden_layers, T=T
+    )
+    return Flow(dim=dim, bijectors=flow.bijectors, base_dist=base)
 
 
 def data_dependent_init(

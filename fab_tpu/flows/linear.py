@@ -68,10 +68,15 @@ class LULinear(Bijector):
         return y, jnp.broadcast_to(log_det, z.shape[:-1])
 
     def inverse_and_log_det(self, params, x: Array) -> Tuple[Array, Array]:
-        # Invert via two triangular solves: L (U z) = x.
+        # Materialise W^-1 = U^-1 L^-1 with two D x D triangular solves (done once,
+        # independent of batch), then apply as a single MXU matmul — much faster on
+        # TPU than per-row triangular solves over the particle axis, and this is the
+        # hot density-evaluation path (log q inside every HMC leapfrog step).
         l, u = _lu_pieces(params)
-        y1 = jax.scipy.linalg.solve_triangular(l, x.T, lower=True)
-        z = jax.scipy.linalg.solve_triangular(u, y1, lower=False).T
+        eye = jnp.eye(l.shape[0], dtype=l.dtype)
+        l_inv = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+        w_inv = jax.scipy.linalg.solve_triangular(u, l_inv, lower=False)
+        z = jnp.dot(x, w_inv.T, preferred_element_type=x.dtype)
         log_det = -jnp.sum(params["log_s"])
         return z, jnp.broadcast_to(log_det, x.shape[:-1])
 

@@ -111,3 +111,21 @@ def replicate(tree):
     if _ACTIVE_MESH is None:
         return tree
     return jax.device_put(tree, replicated_sharding())
+
+
+def shard_flow_params(flow, flow_params):
+    """Place flow params on the mesh: model-axis sharded when the mesh has a
+    model dimension > 1 (megatron-style specs from flow.param_sharding), else
+    replicated. No-op without an active mesh."""
+    mesh = _ACTIVE_MESH
+    if mesh is None:
+        return flow_params
+    if mesh.shape.get(MODEL_AXIS, 1) > 1 and hasattr(flow, "param_sharding"):
+        specs = flow.param_sharding(MODEL_AXIS)
+        shardings = jax.tree.map(
+            lambda s: NamedSharding(mesh, s),
+            specs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        return jax.device_put(flow_params, shardings)
+    return jax.device_put(flow_params, replicated_sharding())

@@ -122,7 +122,12 @@ class Trainer:
         del lr_schedule  # schedules are baked into the optax optimizer
 
     def init_state(self, key: jax.Array) -> TrainState:
+        from fab_tpu.parallel.mesh import replicate, shard_flow_params
+
         params = self.model.init(key)
+        params = dict(
+            replicate(params), flow=shard_flow_params(self.model.flow, params["flow"])
+        )
         return TrainState(
             params=params,
             opt_state=self.optimizer.init(params["flow"]),
@@ -290,8 +295,13 @@ class BufferTrainer(Trainer):
         self.clip_ais_weights_frac = clip_ais_weights_frac
 
     def init_state(self, key: jax.Array, batch_size: int = 128) -> BufferTrainState:
+        from fab_tpu.parallel.mesh import replicate, shard_flow_params
+
         key, key_init = jax.random.split(key)
         params = self.model.init(key_init)
+        params = dict(
+            replicate(params), flow=shard_flow_params(self.model.flow, params["flow"])
+        )
         buffer_state = self.buffer.init()
 
         @jax.jit
@@ -438,8 +448,13 @@ class PrioritisedBufferTrainer(Trainer):
     ) -> BufferTrainState:
         """Init flow/optimiser and fill the buffer to min length with AIS samples
         (prioritised_replay_buffer.py:62-66, setup_run.py:119-127)."""
+        from fab_tpu.parallel.mesh import replicate, shard_flow_params
+
         key, key_init = jax.random.split(key)
         params = self.model.init(key_init)
+        params = dict(
+            replicate(params), flow=shard_flow_params(self.model.flow, params["flow"])
+        )
         buffer_state = self.buffer.init()
 
         @jax.jit
