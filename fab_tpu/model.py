@@ -106,7 +106,11 @@ class FABModel:
                 p_target=False,
                 tune=tune,
             )
-            log_q_x = self.flow.log_prob(flow_params, result.point.x)
+            # Re-evaluate log q at the AIS points for the gradient; invalid rows
+            # are zero-filled BEFORE the evaluation — masking only the loss value
+            # would still let NaNs poison the backward pass (0 * NaN cotangents).
+            x_safe = jnp.where(result.mask[:, None], result.point.x, 0.0)
+            log_q_x = self.flow.log_prob(flow_params, x_safe)
             loss = losses.fab_alpha_div(
                 log_q_x, result.log_w, self.alpha, result.mask
             )
@@ -121,7 +125,8 @@ class FABModel:
                 p_target=False,
                 tune=tune,
             )
-            log_q_x = self.flow.log_prob(flow_params, result.point.x)
+            x_safe = jnp.where(result.mask[:, None], result.point.x, 0.0)
+            log_q_x = self.flow.log_prob(flow_params, x_safe)
             loss = losses.fab_ub_alpha_2_div(
                 log_q_x, result.point.log_p, result.log_w, result.mask
             )

@@ -134,10 +134,9 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
         )
 
-    def make_train_step(self, batch_size: int):
+    def _train_step_fn(self, batch_size: int):
         model, optimizer = self.model, self.optimizer
 
-        @jax.jit
         def train_step(state: TrainState, key: jax.Array):
             def loss_fn(params):
                 return model.loss_and_info(params, key, batch_size, tune=True)
@@ -156,6 +155,27 @@ class Trainer:
             )
 
         return train_step
+
+    def make_train_step(self, batch_size: int):
+        return jax.jit(self._train_step_fn(batch_size))
+
+    def make_scanned_train_step(self, batch_size: int, n_steps: int):
+        """n_steps training iterations in ONE dispatch (lax.scan over keys).
+
+        Amortises host->device dispatch latency — important when batches are small
+        (GMM: batch 128) or the device sits behind a remote tunnel. Returns the
+        final state and the LAST step's info.
+        """
+        step = self._train_step_fn(batch_size)
+
+        @jax.jit
+        def multi_step(state, key):
+            state, infos = jax.lax.scan(
+                lambda s, k: step(s, k), state, jax.random.split(key, n_steps)
+            )
+            return state, jax.tree.map(lambda a: a[-1], infos)
+
+        return multi_step
 
     def save_checkpoint(self, state: TrainState, i: int) -> None:
         path = os.path.join(self.checkpoints_dir, f"iter_{i}", "state.pkl")
@@ -216,15 +236,32 @@ class Trainer:
         if state is None:
             key, key_init = jax.random.split(key)
             state = self.init_state(key_init)
-        train_step = self.make_train_step(batch_size)
+        # Dispatch in chunks of up to ``log_every`` iterations: one jitted scan per
+        # chunk (make_scanned_train_step), stopping at every scheduled
+        # eval/plot/checkpoint iteration. Amortises dispatch latency for small
+        # batches without changing the schedule semantics.
+        steps = {1: self.make_train_step(batch_size)}
+
+        def run_chunk(state, key, k: int):
+            if k not in steps:
+                steps[k] = self.make_scanned_train_step(batch_size, k)
+            return steps[k](state, key)
+
+        events = sorted(
+            {n_iterations} | checkpoint_iter | eval_iter | plot_iter
+        )
         start_time = time()
         max_it_time = 0.0
 
-        for i in range(start_iter + 1, n_iterations + 1):
+        i = start_iter
+        while i < n_iterations:
             it_start = time()
+            next_event = min(e for e in events if e > i)
+            k = max(min(log_every, next_event - i), 1)
             key, key_step = jax.random.split(key)
-            state, info = train_step(state, key_step)
-            if i % log_every == 0 or i == n_iterations:
+            state, info = run_chunk(state, key_step, k)
+            i += k
+            if True:
                 t_info = info.pop("transition", None)
                 host_info = {
                     k: v for k, v in jax.device_get(info).items()
@@ -248,10 +285,10 @@ class Trainer:
                 self._plots(state, key_plot, i, save)
             if i in checkpoint_iter and save:
                 self.save_checkpoint(state, i)
-            max_it_time = max(max_it_time, time() - it_start)
+            max_it_time = max(max_it_time, (time() - it_start) / k)
             if tlimit is not None:
                 hours = (time() - start_time) / 3600
-                if hours + max_it_time / 3600 > tlimit:
+                if hours + max_it_time * k / 3600 > tlimit:
                     if save and i not in checkpoint_iter:
                         self.save_checkpoint(state, i)
                     self.logger.close()
@@ -326,7 +363,7 @@ class BufferTrainer(Trainer):
             step=jnp.zeros((), jnp.int32),
         )
 
-    def make_train_step(self, batch_size: int):
+    def _train_step_fn(self, batch_size: int):
         model, optimizer, buffer = self.model, self.optimizer, self.buffer
         alpha = model.alpha
         n_batches = self.n_batches_buffer_sampling
@@ -347,7 +384,6 @@ class BufferTrainer(Trainer):
             )
             return flow_params, opt_state, loss, grad_norm
 
-        @jax.jit
         def train_step(state: BufferTrainState, key: jax.Array):
             key_ais, key_sample = jax.random.split(key)
             result = model.ais.sample_and_log_weights(
@@ -490,7 +526,7 @@ class PrioritisedBufferTrainer(Trainer):
 
     # -------------------------------------------------------------- train step
 
-    def make_train_step(self, batch_size: int):
+    def _train_step_fn(self, batch_size: int):
         model, optimizer, buffer = self.model, self.optimizer, self.buffer
         alpha = model.alpha
         n_batches = self.n_batches_buffer_sampling
@@ -498,7 +534,6 @@ class PrioritisedBufferTrainer(Trainer):
         adjust_after = self.w_adjust_in_buffer_after_update
         flow = model.flow
 
-        @jax.jit
         def train_step(state: BufferTrainState, key: jax.Array):
             key_ais, key_sample = jax.random.split(key)
             # 1. AIS pass + buffer add (train_with_prioritised_buffer.py:142-149).
