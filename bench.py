@@ -29,6 +29,10 @@ BASELINE_CACHE = os.path.join(REPO, "baseline_measured.json")
 def measure_ours(n_warmup=2, n_steps=10, batch_size=2048):
     import jax
 
+    # Benchmark the recommended training configuration: full-f32 matmuls (TPU's
+    # default bf16 multiplication materially degrades FAB training quality).
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     sys.path.insert(0, REPO)
     from fab_tpu.buffer import PrioritisedReplayBuffer
     from fab_tpu.flows import make_realnvp

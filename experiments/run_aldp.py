@@ -74,6 +74,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
     cfg = apply_overrides(load_config(args.config), args.overrides)
 
+    jax.config.update(
+        "jax_default_matmul_precision",
+        cfg.training.get("matmul_precision", "highest"),
+    )
     model, target = make_aldp_model(cfg)
     t = cfg.training
     save_root = cfg.training.save_root
