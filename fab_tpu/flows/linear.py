@@ -27,8 +27,13 @@ def _lu_pieces(params):
     dim = params["lower"].shape[0]
     dtype = params["lower"].dtype
     l = jnp.tril(params["lower"], k=-1) + jnp.eye(dim, dtype=dtype)
+    # sign_s is a fixed +-1 sign pattern, NOT a trainable magnitude: the log-det is
+    # computed as sum(log_s) assuming |sign_s| = 1, so any optimiser drift in
+    # sign_s would silently unnormalise the flow (log q off by a constant that
+    # softmax-based losses cannot see but every log-prob metric does). The
+    # stop_gradient keeps it frozen.
     u = jnp.triu(params["upper"], k=1) + jnp.diag(
-        params["sign_s"] * jnp.exp(params["log_s"])
+        jax.lax.stop_gradient(params["sign_s"]) * jnp.exp(params["log_s"])
     )
     return l, u
 

@@ -122,3 +122,41 @@ def test_flow_log_prob_integrates_to_one(key):
     log_q = flow.log_prob(params, z)
     integral = jnp.mean(jnp.exp(log_q - log_ref))
     np.testing.assert_allclose(float(integral), 1.0, atol=0.05)
+
+
+def test_flow_stays_normalised_under_training(key):
+    """Regression: LULinear's sign_s must not drift under the optimiser — drift
+    silently unnormalises the flow (log q off by a constant invisible to
+    softmax-weighted losses). Train a few steps and check the importance-sampling
+    normalisation estimate stays at 1."""
+    import optax
+
+    flow = make_realnvp(2, n_flow_layers=4, layer_nodes_per_dim=8, act_norm=False)
+    params = flow.init(key)
+    target_log_prob = lambda x: -0.5 * jnp.sum((x - 1.0) ** 2, -1) - jnp.log(
+        2 * jnp.pi
+    )
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, k):
+        def loss_fn(p):
+            x, log_q = flow.sample_and_log_prob(p, k, 256)
+            return jnp.mean(log_q) - jnp.mean(target_log_prob(x))
+
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state
+
+    for i in range(200):
+        params, opt_state = step(params, opt_state, jax.random.fold_in(key, i))
+    # sign_s unchanged at +-1.
+    for layer in params["layers"]:
+        if "sign_s" in layer:
+            np.testing.assert_allclose(jnp.abs(layer["sign_s"]), 1.0, atol=1e-6)
+    # Normalisation: IS against a broad reference density.
+    z = 6.0 * jax.random.normal(key, (400_000, 2))
+    log_ref = -0.5 * jnp.sum((z / 6.0) ** 2, -1) - jnp.log(2 * jnp.pi * 36.0)
+    integral = jnp.mean(jnp.exp(flow.log_prob(params, z) - log_ref))
+    np.testing.assert_allclose(float(integral), 1.0, atol=0.1)
