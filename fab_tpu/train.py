@@ -372,7 +372,12 @@ class BufferTrainer(Trainer):
 
         def inner_update(flow_params, opt_state, x, log_w, mask):
             """One fab_alpha_div gradient step on given points/weights
-            (fab/core.py:112-118 via train_with_buffer.py:84-93)."""
+            (fab/core.py:112-118 via train_with_buffer.py:84-93). Rows with
+            non-finite log q are probed out and zero-filled first (no NaN
+            cotangents, no skipped steps)."""
+            log_q_probe = jax.lax.stop_gradient(flow.log_prob(flow_params, x))
+            mask = mask & jnp.isfinite(log_q_probe)
+            x = jnp.where(mask[:, None], x, 0.0)
 
             def loss_fn(fp):
                 log_q_x = flow.log_prob(fp, x)
@@ -563,6 +568,15 @@ class PrioritisedBufferTrainer(Trainer):
                 x, log_w_b, log_q_old, idx = batch_data
                 x = constrain_batch(x)
                 row_ok = jnp.isfinite(log_w_b)  # killed/unwritten rows
+                # Probe pass: rows whose log q is non-finite (extreme AIS points)
+                # are excluded from the loss and killed in the buffer, instead of
+                # the reference's skip-the-whole-step behaviour
+                # (train_with_prioritised_buffer.py:172-181). The probe also lets
+                # us zero-fill bad rows BEFORE the differentiated evaluation so no
+                # NaN cotangents can leak.
+                log_q_probe = jax.lax.stop_gradient(flow.log_prob(flow_params, x))
+                row_ok = row_ok & jnp.isfinite(log_q_probe)
+                x = jnp.where(row_ok[:, None], x, 0.0)
 
                 def loss_fn(fp):
                     log_q_x = flow.log_prob(fp, x)
