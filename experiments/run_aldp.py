@@ -32,9 +32,13 @@ from fab_tpu.utils.training import apply_overrides, load_config
 from experiments.make_aldp_model import make_aldp_model
 
 
-def generate_test_set(target, key, n_samples=10_000, n_steps=400, n_chains=512):
+def generate_test_set(target, key, n_samples=10_000, n_steps=400, n_chains=None):
     """MCMC ground-truth-ish test set: long HMC at the target from the minimised
     structure (replaces the reference's MD validation data, aldp train.py data/val)."""
+    if n_chains is None:
+        # Enough chains that post-burn-in thinning covers n_samples without tiling.
+        n_collect_chunks = max((n_steps // 20) - (n_steps // 20) // 2, 1)
+        n_chains = max(512, -(-n_samples // n_collect_chunks))
     op = HamiltonianMonteCarlo(
         n_ais_intermediate_distributions=1, n_outer=1, n_leapfrog=10, epsilon=0.05
     )
@@ -55,15 +59,37 @@ def generate_test_set(target, key, n_samples=10_000, n_steps=400, n_chains=512):
             target.log_prob, 1.0, mask, True,
         )
 
+    # Run sweeps in on-device chunks (one dispatch per chunk — per-sweep host
+    # round-trips cost minutes through a remote-device tunnel).
+    chunk = 20
+
+    @jax.jit
+    def sweep_chunk(point, state, key):
+        def body(carry, key_t):
+            point, state = carry
+            point, state, _ = op.transition(
+                state, key_t, point, jnp.asarray(1.0), jnp.asarray(0), log_q,
+                target.log_prob, 1.0, mask, True,
+            )
+            return (point, state), None
+
+        (point, state), _ = jax.lax.scan(
+            body, (point, state), jax.random.split(key, chunk)
+        )
+        return point, state
+
     samples = []
-    burn_in = n_steps // 2
-    keep_every = max((n_steps - burn_in) * n_chains // n_samples, 1)
-    for step in range(n_steps):
+    n_chunks = max(n_steps // chunk, 1)
+    burn_in_chunks = n_chunks // 2
+    for c in range(n_chunks):
         key, sub = jax.random.split(key)
-        point, state, info = sweep(point, state, sub)
-        if step >= burn_in and (step - burn_in) % keep_every == 0:
+        point, state = sweep_chunk(point, state, sub)
+        if c >= burn_in_chunks:
             samples.append(np.asarray(point.x))
     data = np.concatenate(samples)[:n_samples]
+    if data.shape[0] < n_samples:
+        reps = -(-n_samples // data.shape[0])
+        data = np.tile(data, (reps, 1))[:n_samples]
     return data
 
 

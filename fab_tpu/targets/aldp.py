@@ -153,14 +153,21 @@ class AldpBoltzmann(TargetDistribution):
         x = x0.reshape(N_ATOMS, 3)
 
         energy = lambda p: energy_kcal(self.tables, p)
-        grad = jax.jit(jax.grad(energy))
-        energy_j = jax.jit(energy)
+        grad = jax.grad(energy)
         lr = 1e-4
-        for i in range(steps):
-            g = grad(x)
-            g = jnp.clip(jnp.nan_to_num(g), -1e3, 1e3)
-            x = x - lr * g
-        e_final = float(energy_j(x))
+
+        # Whole descent as ONE compiled fori_loop: per-step host dispatches would
+        # cost minutes through a remote-device tunnel.
+        @jax.jit
+        def descend(x):
+            def body(_, x):
+                g = jnp.clip(jnp.nan_to_num(grad(x)), -1e3, 1e3)
+                return x - lr * g
+
+            return jax.lax.fori_loop(0, steps, body, x)
+
+        x = descend(x)
+        e_final = float(energy(x))
         assert np.isfinite(e_final), "ALDP minimisation diverged"
         return np.asarray(x).reshape(1, N_ATOMS * 3)
 
