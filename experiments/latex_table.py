@@ -6,6 +6,10 @@ report mean +- sem for the headline metrics of each problem.
 
 Usage:
     python experiments/latex_table.py --csv gmm_results.csv --problem gmm
+    python experiments/latex_table.py --csv alpha_study.csv --alpha-study
+
+``--alpha-study`` is the analogue of experiments/gmm/latex_table_alpha_study.py:38:
+rows are grouped by the ``alpha`` column (seeds aggregated) instead of by method.
 """
 from __future__ import annotations
 
@@ -40,19 +44,32 @@ PROBLEM_METRICS = {
 }
 
 
+ALPHA_STUDY_METRICS = [
+    ("eval_ess_flow", "ESS (flow)", 1),
+    ("eval_ess_ais", "ESS (AIS)", 1),
+    ("flow_test_set_mean_log_prob", r"$\log q(x)$ test", 1),
+    ("flow_bias_normed", r"Bias ($\times 100$)", 100),
+]
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--csv", required=True)
     parser.add_argument("--problem", choices=PROBLEM_METRICS, default="gmm")
+    parser.add_argument("--alpha-study", action="store_true")
     args = parser.parse_args(argv)
 
     with open(args.csv) as f:
         rows = list(csv.DictReader(f))
     grouped = defaultdict(list)
-    for r in rows:
-        grouped[r["model_name"].rsplit("_seed", 1)[0]].append(r)
-
-    metrics = PROBLEM_METRICS[args.problem]
+    if args.alpha_study:
+        for r in rows:
+            grouped[rf"$\alpha = {float(r['alpha']):g}$"].append(r)
+        metrics = ALPHA_STUDY_METRICS
+    else:
+        for r in rows:
+            grouped[r["model_name"].rsplit("_seed", 1)[0]].append(r)
+        metrics = PROBLEM_METRICS[args.problem]
     header = " & ".join(["Method"] + [label for _, label, _ in metrics])
     print(header + r" \\")
     print(r"\midrule")
