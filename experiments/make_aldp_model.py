@@ -33,7 +33,17 @@ def make_aldp_flow(
     tail_bound: float = 5.0,
     circ_shift: str = "random",
     seed: int = 0,
+    base_type: str = "gauss-uni",
+    snf_every: int = 0,
+    snf_steps: int = 10,
+    snf_proposal_scale: float = 0.1,
+    target_log_prob=None,
 ) -> Flow:
+    """base_type: 'gauss-uni' (circular dims uniform, reference
+    make_aldp_model.py:66-70), 'gauss' (trainable diagonal Gaussian), or
+    'resampled' (LARS base, make_aldp_model.py:71-80). snf_every > 0 inserts a
+    Metropolis sampling layer after every snf_every spline blocks (the reference's
+    SNF ALDP variant, aldp config 'snf')."""
     d = (dim + 1) // 2
     circ = set(circular_dims)
     rng = np.random.RandomState(seed)
@@ -63,7 +73,32 @@ def make_aldp_flow(
                     shift=float(rng.uniform(-np.pi, np.pi)),
                 )
             )
-    base = UniformGaussianBase(dim=dim, circular_dims=tuple(circular_dims))
+        if snf_every and (i + 1) % snf_every == 0:
+            from fab_tpu.flows.snf import MetropolisSamplingLayer
+
+            assert target_log_prob is not None, "SNF layers need target_log_prob"
+            bijectors.append(
+                MetropolisSamplingLayer(
+                    target_log_prob=target_log_prob,
+                    lam=(i + 1) / n_blocks,
+                    n_steps=snf_steps,
+                    proposal_scale=snf_proposal_scale,
+                )
+            )
+    if base_type == "resampled":
+        from fab_tpu.flows.resampled import ResampledGaussianBase
+
+        base = ResampledGaussianBase(dim=dim)
+    elif base_type == "gauss":
+        from fab_tpu.flows.base import DiagGaussianBase
+
+        base = DiagGaussianBase(dim=dim)
+    else:
+        base = UniformGaussianBase(dim=dim, circular_dims=tuple(circular_dims))
+    if snf_every:
+        from fab_tpu.flows.snf import StochasticFlow
+
+        return StochasticFlow(dim=dim, layers=tuple(bijectors), base_dist=base)
     return Flow(dim=dim, bijectors=tuple(bijectors), base_dist=base)
 
 
@@ -81,6 +116,7 @@ def make_aldp_model(cfg) -> Tuple[FABModel, AldpBoltzmann]:
         env=sys_cfg.get("env", "vacuum"),
         backend=sys_cfg.get("backend", "jax"),
     )
+    snf_cfg = cfg.flow.get("snf")
     flow = make_aldp_flow(
         dim=target.dim,
         circular_dims=target.transform.circular_flow_dims,
@@ -89,6 +125,11 @@ def make_aldp_model(cfg) -> Tuple[FABModel, AldpBoltzmann]:
         n_bins=cfg.flow.num_bins,
         circ_shift=cfg.flow.get("circ_shift", "random"),
         seed=cfg.training.seed,
+        base_type=cfg.flow.get("base", {}).get("type", "gauss-uni"),
+        snf_every=snf_cfg.every if snf_cfg else 0,
+        snf_steps=snf_cfg.get("steps", 10) if snf_cfg else 10,
+        snf_proposal_scale=snf_cfg.get("proposal_scale", 0.1) if snf_cfg else 0.1,
+        target_log_prob=target.log_prob if snf_cfg else None,
     )
     fab_cfg = cfg.fab
     if fab_cfg.get("transition_type", "hmc") == "hmc":

@@ -93,6 +93,69 @@ def generate_test_set(target, key, n_samples=10_000, n_steps=400, n_chains=None)
     return data
 
 
+def run_ml_training(cfg, model, target, z_train, z_test, key):
+    """Forward-KL (maximum-likelihood) training loop on target-distributed data."""
+    import optax
+
+    t = cfg.training
+    save_root = t.save_root
+    params = model.init(key)
+    optimizer = make_optimizer(t.learning_rate, t.get("max_grad_norm"))
+    opt_state = optimizer.init(params["flow"])
+    n_train = z_train.shape[0]
+    batch_size = t.batch_size
+
+    @jax.jit
+    def step(flow_params, opt_state, key):
+        idx = jax.random.randint(key, (batch_size,), 0, n_train)
+        loss, grads = jax.value_and_grad(
+            lambda fp: model.forward_kl_loss({"flow": fp}, z_train[idx])
+        )(flow_params)
+        # NaN-guarded update (train.py pattern): skip the step on non-finite grads.
+        finite = jnp.isfinite(loss) & jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
+        )
+        updates, new_opt_state = optimizer.update(grads, opt_state, flow_params)
+        new_flow_params = optax.apply_updates(flow_params, updates)
+        flow_params = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_flow_params, flow_params
+        )
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_opt_state, opt_state
+        )
+        return flow_params, opt_state, loss
+
+    flow_params = params["flow"]
+    for i in range(t.max_iter):
+        key, sub = jax.random.split(key)
+        flow_params, opt_state, loss = step(flow_params, opt_state, sub)
+        if i % t.get("log_every", 100) == 0:
+            print(f"ml iter {i}: loss {float(loss):.4f}")
+    params = dict(params, flow=flow_params)
+
+    from fab_tpu.checkpoint import save_checkpoint
+
+    os.makedirs(os.path.join(save_root, "model_checkpoints"), exist_ok=True)
+    save_checkpoint(
+        os.path.join(save_root, "model_checkpoints", f"iter_{t.max_iter}"),
+        {"params": params},
+    )
+    n_eval_samples = int(t.get("final_eval_samples", 10_000))
+    zs = []
+    for i in range(0, n_eval_samples, 1000):
+        key, sub = jax.random.split(key)
+        zs.append(np.asarray(model.flow.sample(params["flow"], sub, 1000)))
+    metrics = evaluate_aldp(
+        target,
+        np.concatenate(zs)[:n_eval_samples],
+        np.asarray(z_test),
+        iteration=t.max_iter,
+        metric_dir=os.path.join(save_root, "metrics"),
+        plot_dir=os.path.join(save_root, "plots"),
+    )
+    print({k: round(float(v), 5) for k, v in metrics.items()})
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="experiments/configs/aldp.yaml")
@@ -122,13 +185,33 @@ def main(argv=None):
     else:
         print("Generating MCMC test set ...")
         z_test = generate_test_set(
-            target, key_test, n_samples=int(t.get("n_test_samples", 10_000))
+            target, key_test, n_samples=int(t.get("n_test_samples", 10_000)),
+            n_steps=int(t.get("test_mcmc_steps", 400)),
         )
         np.save(test_path, z_test)
 
+    batch_size = t.batch_size
+    if cfg.fab.loss_type == "forward_kl":
+        # Maximum-likelihood variant (reference aldp config 'ml', train.py:274-283):
+        # fit the flow on target-distributed data. The reference uses MD training
+        # data; we train on an MCMC-generated set disjoint from the test set.
+        train_path = os.path.join(save_root, "train_set.npy")
+        if os.path.exists(train_path):
+            z_train = np.load(train_path)
+        else:
+            print("Generating MCMC training set ...")
+            key, key_train = jax.random.split(key)
+            z_train = generate_test_set(
+                target, key_train,
+                n_samples=int(t.get("n_train_samples", 100_000)),
+                n_steps=int(t.get("test_mcmc_steps", 400)),
+            )
+            np.save(train_path, z_train)
+        run_ml_training(cfg, model, target, jnp.asarray(z_train), z_test, key)
+        return
+
     rb = cfg.training.replay_buffer
     use_buffer = rb is not None and rb.get("type") == "prioritised"
-    batch_size = t.batch_size
     if use_buffer:
         buffer = PrioritisedReplayBuffer(
             dim=target.dim,

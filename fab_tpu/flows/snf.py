@@ -97,10 +97,13 @@ class StochasticFlow:
 
     dim: int
     layers: Tuple[Any, ...]  # Bijector | MetropolisSamplingLayer
+    base_dist: Any = None  # DiagGaussianBase | UniformGaussianBase | resampled
 
     @property
-    def base(self) -> DiagGaussianBase:
-        return DiagGaussianBase(self.dim)
+    def base(self):
+        return self.base_dist if self.base_dist is not None else DiagGaussianBase(
+            self.dim
+        )
 
     @property
     def event_shape(self) -> Tuple[int, ...]:
@@ -150,7 +153,7 @@ class StochasticFlow:
         from jax.sharding import PartitionSpec as P
 
         return {
-            "base": {"loc": P(), "log_scale": P()},
+            "base": jax.tree.map(lambda _: P(), self.base.init()),
             "layers": tuple(
                 layer.param_sharding(self.dim, model_axis) for layer in self.layers
             ),

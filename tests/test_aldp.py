@@ -147,3 +147,62 @@ def test_evaluate_aldp_runs(target, key):
     assert metrics["kld_ram"] < 5.0
     # Chirality filter passes the reference structure's own basin.
     assert filter_chirality(z_a).mean() > 0.9
+
+
+def test_aldp_flow_factory_variants(key):
+    """Resampled-base (rbd) and SNF ALDP flow variants (reference aldp configs)."""
+    from experiments.make_aldp_model import make_aldp_flow
+
+    circ = (45, 48, 52)
+    flow = make_aldp_flow(
+        60, circ, n_blocks=1, hidden_units=16, n_bins=4, base_type="resampled"
+    )
+    params = flow.init(key)
+    x, log_q = flow.sample_and_log_prob(params, key, 8)
+    assert x.shape == (8, 60) and bool(jnp.all(jnp.isfinite(log_q)))
+    # The resampled base density is deterministic, so the roundtrip is exact.
+    np.testing.assert_allclose(
+        flow.log_prob(params, x), log_q, atol=5e-3, rtol=1e-4
+    )
+
+    def target_log_prob(z):
+        return -0.5 * jnp.sum(z**2, axis=-1)
+
+    snf = make_aldp_flow(
+        60, circ, n_blocks=2, hidden_units=16, n_bins=4,
+        snf_every=1, snf_steps=2, target_log_prob=target_log_prob,
+    )
+    params = snf.init(key)
+    x, log_q = snf.sample_and_log_prob(params, key, 8)
+    assert x.shape == (8, 60) and bool(jnp.all(jnp.isfinite(log_q)))
+    assert bool(jnp.all(jnp.isfinite(snf.log_prob(params, x, key=key))))
+
+
+def test_aldp_variant_models_train_step(target, key):
+    """rbd / snf / kld / al2div variant models produce finite losses."""
+    import dataclasses as dc
+
+    from experiments.make_aldp_model import make_aldp_flow
+    from fab_tpu.model import FABModel
+    from fab_tpu.sampling import Metropolis
+
+    circ = target.transform.circular_flow_dims
+    op = Metropolis(n_ais_intermediate_distributions=1, n_updates=1)
+    for base_type, snf_every, loss_type in [
+        ("resampled", 0, "fab_alpha_div"),
+        ("gauss-uni", 2, "fab_alpha_div"),
+        ("gauss-uni", 0, "flow_reverse_kl"),
+        ("gauss-uni", 0, "flow_alpha_2_div_unbiased"),
+    ]:
+        flow = make_aldp_flow(
+            target.dim, circ, n_blocks=2, hidden_units=16, n_bins=4,
+            base_type=base_type, snf_every=snf_every, snf_steps=2,
+            target_log_prob=target.log_prob if snf_every else None,
+        )
+        model = FABModel.create(
+            flow, target, transition_operator=op,
+            n_intermediate_distributions=1, loss_type=loss_type,
+        )
+        params = model.init(key)
+        loss, (_, info) = model.loss_and_info(params, key, 4)
+        assert bool(jnp.isfinite(loss)), (base_type, snf_every, loss_type)
