@@ -135,9 +135,10 @@ def run_ml_training(cfg, model, target, z_train, z_test, key):
 
     from fab_tpu.checkpoint import save_checkpoint
 
-    os.makedirs(os.path.join(save_root, "model_checkpoints"), exist_ok=True)
     save_checkpoint(
-        os.path.join(save_root, "model_checkpoints", f"iter_{t.max_iter}"),
+        os.path.join(
+            save_root, "model_checkpoints", f"iter_{t.max_iter}", "state.pkl"
+        ),
         {"params": params},
     )
     n_eval_samples = int(t.get("final_eval_samples", 10_000))

@@ -38,6 +38,33 @@ def load_checkpoint(path: str) -> Any:
         return pickle.load(f)
 
 
+# --------------------------------------------------------------------- orbax
+# Multi-host backend (SURVEY §5 "TPU equivalent: orbax-style multi-host checkpoint"):
+# every process writes its own shards of distributed arrays; restore re-shards to a
+# target pytree of shardings. The pickle backend above stays the default for
+# single-host runs (no async machinery, trivially inspectable files).
+
+
+def save_checkpoint_orbax(path: str, state: Any) -> None:
+    """Write a pytree checkpoint with orbax (multi-host safe, sharded arrays)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), state, force=True)
+
+
+def load_checkpoint_orbax(path: str, target: Any = None) -> Any:
+    """Restore an orbax checkpoint. ``target`` (abstract pytree carrying shapes/
+    dtypes/shardings, e.g. jax.eval_shape of the train state with shardings
+    attached) re-shards arrays onto the current mesh; None restores as numpy."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if target is not None:
+            return ckptr.restore(os.path.abspath(path), target=target)
+        return ckptr.restore(os.path.abspath(path))
+
+
 def latest_checkpoint(checkpoints_dir: str) -> Optional[str]:
     """Resolve the highest-iteration checkpoint dir (fab/utils/training.py:19-33)."""
     if not os.path.isdir(checkpoints_dir):

@@ -202,3 +202,40 @@ def test_many_well_experiment_entry_smoke(tmp_path, monkeypatch):
     )
     run_dirs = os.listdir(f"{tmp_path}/results")
     assert run_dirs
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, key):
+    """Orbax backend: sharded-array save/restore across a mesh (multi-host path)."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fab_tpu.checkpoint import load_checkpoint_orbax, save_checkpoint_orbax
+    from fab_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(len(jax.devices()), 1)
+    sharding = NamedSharding(mesh, P("data"))
+    state = {
+        "params": {"w": jax.random.normal(key, (16, 4))},
+        "buffer": jax.device_put(jnp.arange(32.0).reshape(32, 1), sharding),
+        "step": jnp.asarray(7),
+    }
+    path = str(tmp_path / "ckpt")
+    save_checkpoint_orbax(path, state)
+
+    # Restore re-sharded onto the mesh.
+    target = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(
+            a.shape, a.dtype,
+            sharding=a.sharding if hasattr(a, "sharding") else None,
+        ),
+        state,
+    )
+    restored = load_checkpoint_orbax(path, target=target)
+    np.testing.assert_array_equal(
+        np.asarray(restored["buffer"]), np.asarray(state["buffer"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["w"]), np.asarray(state["params"]["w"])
+    )
+    assert int(restored["step"]) == 7
+    assert restored["buffer"].sharding.is_equivalent_to(sharding, 2)
