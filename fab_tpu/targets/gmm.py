@@ -58,6 +58,16 @@ class GMM(TargetDistribution):
             expectation_key,
         )
 
+    def save_as_numpy(self, path: str) -> None:
+        """Export mixture parameters for cross-framework comparison (the
+        reference's CRAFT-parity export, gmm.py:102-114)."""
+        np.savez(
+            path,
+            locs=np.asarray(self.locs),
+            scales=np.asarray(self.scales),
+            weights=np.full((self.n_mixes,), 1.0 / self.n_mixes),
+        )
+
     def log_prob(self, x: Array) -> Array:
         diff = x[..., None, :] - self.locs  # [..., K, D]
         log_comp = -0.5 * jnp.sum((diff / self.scales) ** 2, axis=-1) - jnp.sum(

@@ -167,3 +167,17 @@ def test_quadratic_function_matches_reference_formula(key):
     xs = xt + x_shift
     theirs = torch.einsum("bi,ij,bj->b", xs, a, xs) + torch.einsum("i,bi->b", b, xs)
     np.testing.assert_allclose(ours, theirs.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_gmm_save_as_numpy(tmp_path):
+    import numpy as np
+
+    from fab_tpu.targets import GMM
+
+    target = GMM(dim=2, n_mixes=4, loc_scaling=5.0,
+                 true_expectation_estimation_n_samples=1000)
+    path = str(tmp_path / "gmm_params.npz")
+    target.save_as_numpy(path)
+    data = np.load(path)
+    assert data["locs"].shape == (4, 2) and data["scales"].shape == (4, 2)
+    np.testing.assert_allclose(data["weights"].sum(), 1.0)
