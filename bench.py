@@ -26,12 +26,12 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "baseline_measured.json")
 
 
-def measure_ours(n_warmup=2, n_steps=10, batch_size=2048):
+def measure_ours(n_warmup=2, n_steps=10, batch_size=2048, precision="highest"):
     import jax
 
     # Benchmark the recommended training configuration: full-f32 matmuls (TPU's
     # default bf16 multiplication materially degrades FAB training quality).
-    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_default_matmul_precision", precision)
 
     sys.path.insert(0, REPO)
     from fab_tpu.buffer import PrioritisedReplayBuffer

@@ -100,7 +100,16 @@ def run_ml_training(cfg, model, target, z_train, z_test, key):
     t = cfg.training
     save_root = t.save_root
     params = model.init(key)
-    optimizer = make_optimizer(t.learning_rate, t.get("max_grad_norm"))
+    optimizer = make_optimizer(
+        t.learning_rate,
+        t.get("max_grad_norm"),
+        optimizer=t.get("optimizer", "adam"),
+        schedule=t.get("lr_schedule"),
+        total_steps=t.max_iter,
+        warmup_steps=int(t.get("warmup_iter", 0)),
+        decay_rate=float(t.get("lr_decay_rate", 0.1)),
+        restart_period=t.get("lr_restart_period"),
+    )
     opt_state = optimizer.init(params["flow"])
     n_train = z_train.shape[0]
     batch_size = t.batch_size
@@ -176,7 +185,16 @@ def main(argv=None):
         save_path=os.path.join(save_root, "logging_hist.csv"),
         save_period=t.get("log_iter", 100),
     )
-    optimizer = make_optimizer(t.learning_rate, t.get("max_grad_norm"))
+    optimizer = make_optimizer(
+        t.learning_rate,
+        t.get("max_grad_norm"),
+        optimizer=t.get("optimizer", "adam"),
+        schedule=t.get("lr_schedule"),
+        total_steps=t.max_iter,
+        warmup_steps=int(t.get("warmup_iter", 0)),
+        decay_rate=float(t.get("lr_decay_rate", 0.1)),
+        restart_period=t.get("lr_restart_period"),
+    )
 
     key = jax.random.key(t.seed)
     key, key_test = jax.random.split(key)

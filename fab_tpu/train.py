@@ -82,15 +82,76 @@ def guarded_update(
 
 
 def make_optimizer(
-    lr: float, max_gradient_norm: Optional[float] = None
+    lr: float,
+    max_gradient_norm: Optional[float] = None,
+    optimizer: str = "adam",
+    schedule: Optional[str] = None,
+    total_steps: Optional[int] = None,
+    warmup_steps: int = 0,
+    decay_rate: float = 0.1,
+    restart_period: Optional[int] = None,
 ) -> optax.GradientTransformation:
-    """Adam with global-norm clipping (reference: torch.optim.Adam +
-    clip_grad_norm_, fab/train.py:104-105)."""
+    """Adam/adamax with global-norm clipping and optional LR schedule.
+
+    Mirrors the reference's optimizer/scheduler matrix (torch.optim.Adam +
+    clip_grad_norm_, fab/train.py:104-105; adam/adamax with exponential / cosine /
+    cosine-warm-restart schedules + linear warmup, experiments/aldp/train.py:85-118).
+
+    schedule: None (constant) | 'cosine' | 'cosine_restart' | 'exponential'.
+    ``total_steps`` is required for scheduled LRs; ``decay_rate`` is the end/start LR
+    ratio for cosine ('alpha') and exponential; ``restart_period`` the cosine-restart
+    cycle length (defaults to total_steps // 4).
+    """
+    lr = float(lr)
+    if schedule:
+        assert total_steps is not None, "scheduled LR needs total_steps"
+        if schedule == "cosine":
+            main = optax.cosine_decay_schedule(
+                lr, max(total_steps - warmup_steps, 1), alpha=float(decay_rate)
+            )
+        elif schedule == "cosine_restart":
+            period = int(restart_period or max(total_steps // 4, 1))
+            main = optax.join_schedules(
+                [
+                    optax.cosine_decay_schedule(lr, period, alpha=float(decay_rate))
+                    for _ in range(-(-total_steps // period))
+                ],
+                boundaries=[period * (i + 1) for i in range(total_steps // period)],
+            )
+        elif schedule == "exponential":
+            # lr(step) = lr * decay_rate ** (step / transition_steps): the full
+            # decay_rate factor is reached at the end of training.
+            main = optax.exponential_decay(
+                lr, max(total_steps - warmup_steps, 1), float(decay_rate)
+            )
+        else:
+            raise ValueError(f"unknown schedule {schedule!r}")
+        if warmup_steps > 0:
+            learning_rate = optax.join_schedules(
+                [optax.linear_schedule(0.0, lr, warmup_steps), main],
+                boundaries=[warmup_steps],
+            )
+        else:
+            learning_rate = main
+    elif warmup_steps > 0:
+        learning_rate = optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup_steps),
+             optax.constant_schedule(lr)],
+            boundaries=[warmup_steps],
+        )
+    else:
+        learning_rate = lr
+
     steps = []
     # float() casts guard against YAML parsing "1e-4" as a string.
     if max_gradient_norm is not None:
         steps.append(optax.clip_by_global_norm(float(max_gradient_norm)))
-    steps.append(optax.adam(float(lr)))
+    if optimizer == "adamax":
+        steps.append(optax.adamax(learning_rate))
+    elif optimizer == "adam":
+        steps.append(optax.adam(learning_rate))
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}")
     return optax.chain(*steps)
 
 

@@ -239,3 +239,38 @@ def test_orbax_checkpoint_roundtrip(tmp_path, key):
     )
     assert int(restored["step"]) == 7
     assert restored["buffer"].sharding.is_equivalent_to(sharding, 2)
+
+
+def test_make_optimizer_schedules(key):
+    """Optimizer/scheduler matrix (reference aldp/train.py:85-118)."""
+    import optax
+
+    from fab_tpu.train import make_optimizer
+
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.ones((4,))}
+    for opt_name in ["adam", "adamax"]:
+        for schedule in [None, "cosine", "cosine_restart", "exponential"]:
+            opt = make_optimizer(
+                1e-3, 10.0, optimizer=opt_name, schedule=schedule,
+                total_steps=100, warmup_steps=10,
+            )
+            state = opt.init(params)
+            p = params
+            for _ in range(3):
+                updates, state = opt.update(grads, state, p)
+                p = optax.apply_updates(p, updates)
+            assert bool(jnp.all(jnp.isfinite(p["w"]))), (opt_name, schedule)
+
+    # Warmup actually ramps: the first step's LR is ~lr/warmup, not lr.
+    opt = make_optimizer(1.0, schedule="cosine", total_steps=100, warmup_steps=10)
+    state = opt.init(params)
+    updates, _ = opt.update(grads, state, params)
+    assert float(jnp.abs(updates["w"]).max()) < 0.5
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_optimizer(1e-3, optimizer="sgdlol")
+    with pytest.raises(ValueError):
+        make_optimizer(1e-3, schedule="nonsense", total_steps=10)
