@@ -244,12 +244,26 @@ def main(argv=None):
             logger=logger,
             save_path=save_root,
         )
-        key, key_init = jax.random.split(key)
-        state = trainer.init_state(key_init, batch_size=batch_size)
     else:
         trainer = Trainer(model, optimizer, logger=logger, save_path=save_root)
+
+    # Resume: latest checkpoint under save_root + CSV-log truncation (the
+    # reference's resume path, experiments/aldp/train.py:161-195).
+    state, start_iter = None, 0
+    if t.get("resume", True):
+        from fab_tpu.checkpoint import latest_checkpoint
+
+        ckpt = latest_checkpoint(os.path.join(save_root, "model_checkpoints"))
+        if ckpt:
+            state, start_iter = trainer.load_state(ckpt)
+            logger.resume_from(start_iter)
+            print(f"Resuming from {ckpt} at iteration {start_iter}")
+    if state is None:
         key, key_init = jax.random.split(key)
-        state = trainer.init_state(key_init)
+        if use_buffer:
+            state = trainer.init_state(key_init, batch_size=batch_size)
+        else:
+            state = trainer.init_state(key_init)
 
     n_iter = t.max_iter
     state = trainer.run(
@@ -260,6 +274,7 @@ def main(argv=None):
         n_eval=t.get("n_eval", 5),
         n_checkpoints=t.get("n_checkpoints", 2),
         tlimit=t.get("tlimit"),
+        start_iter=start_iter,
         state=state,
         log_every=t.get("log_every", 10),
     )

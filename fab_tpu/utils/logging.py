@@ -77,6 +77,24 @@ class CSVLogger(Logger):
         if self._unflushed >= self.save_period:
             self._flush()
 
+    def resume_from(self, max_step: int) -> None:
+        """Reload the existing CSV, truncating rows past ``max_step`` (the
+        reference's resume-time CSV truncation, experiments/aldp/train.py:163-195).
+        Rows without a 'step' column are kept."""
+        if not os.path.exists(self.save_path):
+            return
+        with open(self.save_path) as f:
+            rows = list(csv.DictReader(f))
+        self.rows = [
+            r for r in rows
+            if not r.get("step") or float(r["step"]) <= max_step
+        ]
+        for r in self.rows:
+            for k in r:
+                if k not in self.columns:
+                    self.columns.append(k)
+        self._flush()
+
     def _flush(self) -> None:
         with open(self.save_path, "w", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=self.columns, restval="")
