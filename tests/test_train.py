@@ -274,3 +274,24 @@ def test_make_optimizer_schedules(key):
         make_optimizer(1e-3, optimizer="sgdlol")
     with pytest.raises(ValueError):
         make_optimizer(1e-3, schedule="nonsense", total_steps=10)
+
+
+def test_csv_logger_resume_truncation(tmp_path):
+    from fab_tpu.utils.logging import CSVLogger
+
+    path = str(tmp_path / "hist.csv")
+    logger = CSVLogger(save_path=path, save_period=1)
+    for step in [2, 4, 6, 8]:
+        logger.write({"step": step, "loss": float(step)})
+    logger.close()
+
+    resumed = CSVLogger(save_path=path, save_period=1)
+    resumed.resume_from(5)
+    assert [float(r["step"]) for r in resumed.rows] == [2.0, 4.0]
+    resumed.write({"step": 6, "loss": -1.0})
+    resumed.close()
+    import csv as csv_mod
+
+    with open(path) as f:
+        rows = list(csv_mod.DictReader(f))
+    assert len(rows) == 3 and float(rows[-1]["loss"]) == -1.0
