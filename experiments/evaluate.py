@@ -62,7 +62,8 @@ def build_target(cfg):
     if "grid_size" in cfg.target:
         from fab_tpu.targets import LogGaussianCoxProcess
 
-        return LogGaussianCoxProcess(grid_size=cfg.target.grid_size)
+        return LogGaussianCoxProcess(grid_size=cfg.target.grid_size,
+            in_graph_kernel=bool(cfg.target.get('in_graph_kernel', False)))
     from fab_tpu.targets import ManyWellEnergy
 
     return ManyWellEnergy(dim=cfg.target.dim)

@@ -23,7 +23,8 @@ def main(argv=None):
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
     cfg = apply_overrides(load_config(args.config), args.overrides)
-    target = LogGaussianCoxProcess(grid_size=cfg.target.grid_size)
+    target = LogGaussianCoxProcess(grid_size=cfg.target.grid_size,
+        in_graph_kernel=bool(cfg.target.get('in_graph_kernel', False)))
     assert target.dim == cfg.target.dim
     setup_trainer_and_run_flow(cfg, target, plotter=None)
 

@@ -14,14 +14,19 @@ field is x = mu + L e with L = chol(K). The posterior density the flow learns is
 
 Two reasons this is the right TPU design, beyond matching the literature:
 
-1. **No large HLO literals.** L is built in-graph from a [D, 2] grid-coordinate
-   constant (13 KB) — kernel matrix, cholesky and all — so jitted programs that
-   close over ``log_prob`` do not embed 10 MB dense matrices at every use site
-   (XLA CSE + loop-invariant code motion hoist the x-independent construction).
-   With the unwhitened dense-precision form, the flagship train step's serialized
-   module exceeded remote-compile transport limits.
+1. **One well-behaved constant instead of an inverse pair.** The density needs only
+   L (applied forward); the unwhitened form needs K^{-1} in value AND transposed in
+   gradients — multiple 10 MB HLO literals that blew past remote-compile transport
+   limits on the flagship train step.
 2. **No ill-conditioned inverse in f32.** Applying L is forward-stable regardless
-   of cond(K) (~1e6 here); inverting K in f32 is not.
+   of cond(K) (~1e6 here); inverting K in f32 is not. L itself is computed once at
+   init in f64 numpy.
+
+``in_graph_kernel=True`` instead rebuilds chol(K) inside the traced computation
+from the [D, 2] grid-coordinate constant (13 KB): zero large literals in any
+module, at the cost of much longer XLA compiles (the cholesky is differentiated
+inside the AIS scan). Use it where module transport size is the binding
+constraint and compile time is not.
 
 The pine-sapling dataset is not distributable here, so counts are drawn once from
 the generative model at a fixed seed (f64 at init, documented, deterministic) — the
@@ -49,8 +54,10 @@ class LogGaussianCoxProcess(TargetDistribution):
         inv_beta: float = 33.0,
         data_seed: int = 0,
         nugget: float = 1e-6,
+        in_graph_kernel: bool = False,
         dtype=jnp.float32,
     ):
+        self.in_graph_kernel = in_graph_kernel
         m = grid_size
         self.grid_size = m
         self.dim = m * m
@@ -72,6 +79,9 @@ class LogGaussianCoxProcess(TargetDistribution):
         dists = np.linalg.norm(coords[:, None, :] - coords[None, :, :], axis=-1)
         k = sigma2 * np.exp(-dists * inv_beta) + self.nugget * np.eye(self.dim)
         self.chol_np = np.linalg.cholesky(k)
+        self._chol_const = None if in_graph_kernel else jnp.asarray(
+            self.chol_np, dtype
+        )
 
         # Deterministic synthetic counts from the generative model.
         rng = np.random.RandomState(data_seed)
@@ -94,7 +104,8 @@ class LogGaussianCoxProcess(TargetDistribution):
 
     def latent_to_field(self, e: Array) -> Array:
         """Whitened latent e -> log-intensity field x = mu + L e."""
-        return self.mu + e @ self._chol(e.dtype).T
+        chol = self._chol(e.dtype) if self.in_graph_kernel else self._chol_const
+        return self.mu + e @ chol.T.astype(e.dtype)
 
     # ---------------------------------------------------------------- density
     def log_prob(self, e: Array) -> Array:

@@ -67,14 +67,25 @@ def test_metrics(lgcp, key):
     assert bool(jnp.isfinite(info["post_mean_field_rmse"]))
 
 
-def test_no_large_hlo_literals(lgcp):
-    """Jitted value+grad of log_prob must not embed dense kernel-size literals —
-    the property that keeps flagship train-step modules transportable (and keeps
-    multi-host replication cheap)."""
-    f = jax.jit(jax.value_and_grad(lambda e: jnp.sum(lgcp.log_prob(e))))
-    txt = f.lower(jnp.ones((4, lgcp.dim))).as_text()
+def test_no_large_hlo_literals_in_graph_mode():
+    """With in_graph_kernel=True, jitted value+grad of log_prob must not embed
+    dense kernel-size literals — the option for transport-size-limited
+    environments."""
+    t = LogGaussianCoxProcess(grid_size=16, in_graph_kernel=True)
+    f = jax.jit(jax.value_and_grad(lambda e: jnp.sum(t.log_prob(e))))
+    txt = f.lower(jnp.ones((4, t.dim))).as_text()
     # coords constant [D, 2] is fine; a dense [D, D] literal is not.
-    assert len(txt) < 2_000_000, f"HLO unexpectedly large: {len(txt)} bytes"
+    assert len(txt) < 1_000_000, f"HLO unexpectedly large: {len(txt)} bytes"
+
+
+def test_in_graph_kernel_matches_constant(key):
+    """The two kernel backends agree (in-graph f32 cholesky vs f64-at-init)."""
+    a = LogGaussianCoxProcess(grid_size=8)
+    b = LogGaussianCoxProcess(grid_size=8, in_graph_kernel=True)
+    e = a.sample_prior(key, 8)
+    np.testing.assert_allclose(
+        np.asarray(a.log_prob(e)), np.asarray(b.log_prob(e)), rtol=1e-4, atol=5e-2
+    )
 
 
 def test_full_1600d_constructs_and_evaluates(key):
