@@ -322,22 +322,19 @@ class Trainer:
             key, key_step = jax.random.split(key)
             state, info = run_chunk(state, key_step, k)
             i += k
-            if True:
-                t_info = info.pop("transition", None)
-                host_info = {
-                    k: v for k, v in jax.device_get(info).items()
-                }
-                if t_info is not None and self.model.ais is not None:
-                    host_info.update(
-                        jax.device_get(
-                            format_transition_info(
-                                t_info,
-                                self.model.ais.n_intermediate_distributions,
-                            )
+            t_info = info.pop("transition", None)
+            host_info = dict(jax.device_get(info))
+            if t_info is not None and self.model.ais is not None:
+                host_info.update(
+                    jax.device_get(
+                        format_transition_info(
+                            t_info,
+                            self.model.ais.n_intermediate_distributions,
                         )
                     )
-                host_info["step"] = i
-                self.logger.write(host_info)
+                )
+            host_info["step"] = i
+            self.logger.write(host_info)
             if i in eval_iter:
                 key, key_eval = jax.random.split(key)
                 self.perform_eval(state, key_eval, i, eval_batch_size, batch_size)
