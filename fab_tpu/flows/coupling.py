@@ -6,7 +6,7 @@ experiments/make_flow/make_normflow_model.py:11-30): split x = (x1[:d], x2[d:]),
 d = ceil(dim/2); the conditioner MLP [d, width, width, 2*(dim-d)] (zero-init last
 layer, so the flow starts at identity) produces (shift, log_scale) and
 y2 = x2 * exp(log_scale) + shift. All ops are matmuls + elementwise, which XLA fuses;
-see fab_tpu/ops/coupling.py for the fused Pallas path used for large event dims.
+see fab_tpu/ops/realnvp_kernel.py for the fused Pallas path used for large event dims.
 """
 from __future__ import annotations
 

@@ -137,6 +137,14 @@ class StochasticFlow:
 
     def log_prob(self, params, x: Array, key: jax.Array = None) -> Array:
         if key is None:
+            import warnings
+
+            warnings.warn(
+                "SNF log_prob called without a PRNG key: the stochastic MH layers "
+                "fall back to a FIXED internal key, making log_prob a deterministic "
+                "(biased) estimate. Pass key= for an unbiased stochastic estimate.",
+                stacklevel=2,
+            )
             key = jax.random.key(0)
         log_det = jnp.zeros(x.shape[:-1], x.dtype)
         for i, (layer, p) in enumerate(
