@@ -27,7 +27,7 @@ from fab_tpu.sampling import HamiltonianMonteCarlo, create_point
 from fab_tpu.train import PrioritisedBufferTrainer, Trainer, make_optimizer
 from fab_tpu.utils.aldp_eval import evaluate_aldp
 from fab_tpu.utils.logging import CSVLogger
-from fab_tpu.utils.training import apply_overrides, load_config
+from fab_tpu.utils.training import apply_overrides, load_config, maybe_enable_x64
 
 from experiments.make_aldp_model import make_aldp_model
 
@@ -172,6 +172,7 @@ def main(argv=None):
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
     cfg = apply_overrides(load_config(args.config), args.overrides)
+    maybe_enable_x64(cfg)
 
     jax.config.update(
         "jax_default_matmul_precision",

@@ -17,7 +17,7 @@ import matplotlib.pyplot as plt
 
 from fab_tpu.targets import GMM
 from fab_tpu.utils.plotting import plot_contours, plot_marginal_pair
-from fab_tpu.utils.training import apply_overrides, load_config
+from fab_tpu.utils.training import apply_overrides, load_config, maybe_enable_x64
 
 from experiments.setup_run import setup_trainer_and_run_flow
 
@@ -58,6 +58,7 @@ def main(argv=None):
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
     cfg = apply_overrides(load_config(args.config), args.overrides)
+    dtype = maybe_enable_x64(cfg)
 
     target = GMM(
         dim=cfg.target.dim,
@@ -69,6 +70,7 @@ def main(argv=None):
             cfg.target.get("true_expectation_n_samples", 1e7)
         ),
         expectation_key=jax.random.key(0),
+        dtype=dtype,
     )
     plotter = make_plotter(target, plot_bound=cfg.target.loc_scaling * 1.4)
     setup_trainer_and_run_flow(cfg, target, plotter)

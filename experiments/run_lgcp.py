@@ -12,7 +12,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fab_tpu.targets import LogGaussianCoxProcess
-from fab_tpu.utils.training import apply_overrides, load_config
+from fab_tpu.utils.training import apply_overrides, load_config, maybe_enable_x64
 
 from experiments.setup_run import setup_trainer_and_run_flow
 
@@ -23,6 +23,7 @@ def main(argv=None):
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
     cfg = apply_overrides(load_config(args.config), args.overrides)
+    maybe_enable_x64(cfg)
     target = LogGaussianCoxProcess(grid_size=cfg.target.grid_size,
         in_graph_kernel=bool(cfg.target.get('in_graph_kernel', False)))
     assert target.dim == cfg.target.dim

@@ -16,7 +16,7 @@ import matplotlib.pyplot as plt
 
 from fab_tpu.targets import ManyWellEnergy
 from fab_tpu.utils.plotting import plot_contours, plot_marginal_pair
-from fab_tpu.utils.training import apply_overrides, load_config
+from fab_tpu.utils.training import apply_overrides, load_config, maybe_enable_x64
 
 from experiments.setup_run import setup_trainer_and_run_flow
 
@@ -67,6 +67,7 @@ def main(argv=None):
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
     cfg = apply_overrides(load_config(args.config), args.overrides)
+    maybe_enable_x64(cfg)  # before target ctor so its constants are f64
 
     target = ManyWellEnergy(dim=cfg.target.dim)
     plotter = make_plotter(target)

@@ -175,6 +175,9 @@ def setup_precision(cfg: ConfigDict) -> None:
 
 def setup_trainer_and_run_flow(cfg: ConfigDict, target, plotter=None):
     """Tie everything together and run training (setup_run.py:232-347)."""
+    from fab_tpu.utils.training import maybe_enable_x64
+
+    dtype = maybe_enable_x64(cfg)  # entry points call this earlier too (targets)
     setup_precision(cfg)
     setup_mesh(cfg)
     t = cfg.training
@@ -215,6 +218,7 @@ def setup_trainer_and_run_flow(cfg: ConfigDict, target, plotter=None):
                 logger=logger,
                 plotter=plotter,
                 save_path=save_path,
+                dtype=dtype,
             )
         else:
             from fab_tpu.buffer import ReplayBuffer
@@ -235,10 +239,12 @@ def setup_trainer_and_run_flow(cfg: ConfigDict, target, plotter=None):
                 logger=logger,
                 plotter=plotter,
                 save_path=save_path,
+                dtype=dtype,
             )
     else:
         trainer = Trainer(
-            model, optimizer, logger=logger, plotter=plotter, save_path=save_path
+            model, optimizer, logger=logger, plotter=plotter, save_path=save_path,
+            dtype=dtype,
         )
 
     # Resume from checkpoint if configured (setup_run.py:285-294).

@@ -22,7 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fab_tpu.targets.aldp_ff import KB_KCAL, build_tables, energy_kcal
+from fab_tpu.targets.aldp_ff import (
+    KB_KCAL,
+    build_tables,
+    energy_kcal,
+    gb_energy_kcal,
+)
 from fab_tpu.targets.base import LogProbFn, TargetDistribution
 from fab_tpu.targets.internal_coords import (
     NormalizedInternalTransform,
@@ -111,8 +116,10 @@ class AldpBoltzmann(TargetDistribution):
         assert transform == "internal", "only the internal transform is implemented"
         if env not in ("vacuum", "implicit"):
             raise NotImplementedError("This environment is not implemented.")
-        # NOTE: 'implicit' currently evaluates the vacuum potential (no GB term);
-        # the reference uses OpenMM's OBC GBSA there (aldp.py:93-94).
+        # env="implicit" adds the GBSA-OBC2 solvation term (aldp_ff.gb_energy_kcal),
+        # matching the reference's openmmtools AlanineDipeptideImplicit
+        # (aldp.py:93-94).
+        self.env = env
         self.dim = 3 * N_ATOMS - 6
         self.temperature = temperature
         self.kT = KB_KCAL * temperature
@@ -147,12 +154,20 @@ class AldpBoltzmann(TargetDistribution):
 
     # ------------------------------------------------------------------ energy
 
+    def _potential_kcal(self, pos: Array) -> Array:
+        """Full potential [kcal/mol] for pos [..., N_ATOMS, 3]: vacuum terms plus,
+        for env='implicit', the GBSA-OBC2 solvation energy."""
+        e = energy_kcal(self.tables, pos)
+        if self.env == "implicit":
+            e = e + gb_energy_kcal(self.tables, pos)
+        return e
+
     def _minimise(self, zmat: ZMatrixTransform, steps: int) -> np.ndarray:
         z0 = _ideal_internal_coords(zmat)
         x0, _ = zmat.internal_to_cartesian(jnp.asarray(z0)[None])
         x = x0.reshape(N_ATOMS, 3)
 
-        energy = lambda p: energy_kcal(self.tables, p)
+        energy = self._potential_kcal
         grad = jax.grad(energy)
         lr = 1e-4
 
@@ -177,8 +192,12 @@ class AldpBoltzmann(TargetDistribution):
         pos = x_cartesian.reshape(x_cartesian.shape[:-1] + (N_ATOMS, 3))
         if self.backend == "host_cpp":
             e_kcal = self._server.energy_jax(pos)
+            if self.env == "implicit":
+                # GB rides the on-device JAX path on top of the C++ vacuum terms
+                # (both are differentiable; the VJPs compose).
+                e_kcal = e_kcal + gb_energy_kcal(self.tables, pos)
         else:
-            e_kcal = energy_kcal(self.tables, pos)
+            e_kcal = self._potential_kcal(pos)
         u = e_kcal / self.kT
         u = jnp.where(
             u < self.energy_cut,

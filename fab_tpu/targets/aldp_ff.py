@@ -125,6 +125,42 @@ IMPROPERS: Tuple[Tuple[Tuple[int, int, int, int], float], ...] = (
     ((14, 18, 16, 17), 1.0),  # NME amide N planarity
 )
 
+# ---------------------------------------------------------------- GBSA (OBC2)
+# Implicit solvent for env="implicit": the reference evaluates it through OpenMM's
+# GBSAOBCForce (openmmtools AlanineDipeptideImplicit, fab/target_distributions/
+# aldp.py:93-94). Implemented here: OBC2 effective Born radii (alpha=1, beta=0.8,
+# gamma=4.85) over the HCT pairwise-descreening integral, the still-equation GB pair
+# energy, and the ACE surface-area term — the exact functional forms of OpenMM's
+# reference GBSA-OBC implementation, in kcal/mol and Angstrom.
+GB_OFFSET = 0.09  # dielectric offset [A] (OpenMM: 0.009 nm)
+GB_PROBE = 1.4  # solvent probe radius [A]
+# OpenMM surfaceAreaEnergy = 28.3919551 kJ/mol/nm^2 -> kcal/mol/A^2.
+GB_SA_FACTOR = 28.3919551 / 4.184 / 100.0
+GB_ALPHA, GB_BETA, GB_GAMMA = 1.0, 0.8, 4.85  # OBC2
+SOLVENT_DIELECTRIC = 78.5
+SOLUTE_DIELECTRIC = 1.0
+
+# mbondi2 intrinsic radii [A] (H on N: 1.3, other H: 1.2, C: 1.7, N: 1.55, O: 1.5)
+# and OBC descreening scale factors by element (H .85, C .72, N .79, O .85).
+_GB_RADII_BY_ELEMENT = {"H": 1.2, "C": 1.7, "N": 1.55, "O": 1.5}
+_GB_SCALE_BY_ELEMENT = {"H": 0.85, "C": 0.72, "N": 0.79, "O": 0.85}
+
+
+def _gb_params() -> Tuple[np.ndarray, np.ndarray]:
+    neighbours = {i: set() for i in range(len(ATOM_TYPES))}
+    for i, j in BONDS:
+        neighbours[i].add(j)
+        neighbours[j].add(i)
+    radii, scales = [], []
+    for i, t in enumerate(ATOM_TYPES):
+        elem = "H" if t.startswith("H") else t[0]
+        r = _GB_RADII_BY_ELEMENT[elem]
+        if elem == "H" and any(ATOM_TYPES[j].startswith("N") for j in neighbours[i]):
+            r = 1.3  # mbondi2: H bonded to N
+        radii.append(r)
+        scales.append(_GB_SCALE_BY_ELEMENT[elem])
+    return np.array(radii), np.array(scales)
+
 
 def _build_topology():
     """Derive angles, torsions, and exclusion classes from the bond graph."""
@@ -192,6 +228,9 @@ class AldpForceFieldTables:
     pair_qq: np.ndarray  # scaled charge products * coulomb const
     pair_eps: np.ndarray
     pair_rmin: np.ndarray
+    charges: np.ndarray  # [N] partial charges [e] (GB uses the UNSCALED full set)
+    gb_radius: np.ndarray  # [N] mbondi2 intrinsic radii [A]
+    gb_scale: np.ndarray  # [N] OBC descreening scale factors
 
 
 def build_tables() -> AldpForceFieldTables:
@@ -237,6 +276,7 @@ def build_tables() -> AldpForceFieldTables:
             pair_eps.append(np.sqrt(eps_i * eps_j) * scale_lj)
             pair_rmin.append(rmin_i + rmin_j)
 
+    gb_radius, gb_scale = _gb_params()
     return AldpForceFieldTables(
         bond_idx=bond_idx,
         bond_k=np.array(bk),
@@ -252,6 +292,9 @@ def build_tables() -> AldpForceFieldTables:
         pair_qq=np.array(pair_qq),
         pair_eps=np.array(pair_eps),
         pair_rmin=np.array(pair_rmin),
+        charges=CHARGES.copy(),
+        gb_radius=gb_radius,
+        gb_scale=gb_scale,
     )
 
 
@@ -306,3 +349,73 @@ def energy_kcal(tables: AldpForceFieldTables, pos_angstrom: Array) -> Array:
         jnp.asarray(tables.pair_eps, p.dtype) * (x6**2 - 2.0 * x6), axis=-1
     )
     return e_bond + e_angle + e_torsion + e_coul + e_lj
+
+
+def born_radii(tables: AldpForceFieldTables, pos_angstrom: Array) -> Array:
+    """OBC2 effective Born radii [A] for pos [..., N, 3].
+
+    HCT pairwise descreening integral + the OBC tanh rescaling
+    (alpha psi - beta psi^2 + gamma psi^3), exactly OpenMM's reference GBSA-OBC
+    formulation (ReferenceObc::computeBornRadii)."""
+    p = pos_angstrom
+    dtype = p.dtype
+    radius = jnp.asarray(tables.gb_radius, dtype)  # intrinsic [N]
+    rho = radius - GB_OFFSET  # offset radii
+    sr = jnp.asarray(tables.gb_scale, dtype) * rho  # scaled descreening radii
+
+    diff = p[..., :, None, :] - p[..., None, :, :]
+    n = radius.shape[0]
+    eye = jnp.eye(n, dtype=bool)
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d = jnp.sqrt(jnp.where(eye, 1.0, d2))  # diagonal guarded (masked out below)
+
+    rho_i = rho[:, None]
+    sr_j = sr[None, :]
+    # Pair (i, j) contributes iff atom j's descreening sphere reaches atom i.
+    active = (rho_i < d + sr_j) & ~eye
+    d_safe = jnp.where(active, d, 1.0)
+    upper = 1.0 / (d_safe + sr_j)
+    lower = 1.0 / jnp.maximum(rho_i, jnp.abs(d_safe - sr_j))
+    l2, u2 = lower * lower, upper * upper
+    term = (
+        lower
+        - upper
+        + 0.25 * d_safe * (u2 - l2)
+        + (0.5 / d_safe) * jnp.log(upper / lower)
+        + (0.25 * sr_j * sr_j / d_safe) * (l2 - u2)
+    )
+    # Atom i fully inside j's descreening sphere:
+    term = term + jnp.where(rho_i < sr_j - d_safe, 2.0 * (1.0 / rho_i - lower), 0.0)
+    integral = jnp.sum(jnp.where(active, term, 0.0), axis=-1)  # [..., N]
+
+    psi = 0.5 * integral * rho
+    psi2 = psi * psi
+    born_inv = 1.0 / rho - jnp.tanh(
+        GB_ALPHA * psi - GB_BETA * psi2 + GB_GAMMA * psi2 * psi
+    ) / radius
+    return 1.0 / born_inv
+
+
+def gb_energy_kcal(tables: AldpForceFieldTables, pos_angstrom: Array) -> Array:
+    """GBSA-OBC2 solvation energy [kcal/mol]: still-equation polar term + ACE
+    nonpolar surface-area term (OpenMM GBSAOBCForce equivalent)."""
+    p = pos_angstrom
+    dtype = p.dtype
+    q = jnp.asarray(tables.charges, dtype)
+    radius = jnp.asarray(tables.gb_radius, dtype)
+    rb = born_radii(tables, p)  # [..., N]
+
+    diff = p[..., :, None, :] - p[..., None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)  # diagonal is exactly 0 -> f_ii = R_i
+    rbij = rb[..., :, None] * rb[..., None, :]
+    f_gb = jnp.sqrt(d2 + rbij * jnp.exp(-d2 / (4.0 * rbij)))
+    pre = -0.5 * COULOMB_CONST * (1.0 / SOLUTE_DIELECTRIC - 1.0 / SOLVENT_DIELECTRIC)
+    qq = q[:, None] * q[None, :]
+    # Still equation: -0.5 C (1 - 1/eps) sum over ALL ordered pairs (i, j) incl. the
+    # diagonal (self/Born terms once, cross terms twice = the required 2 sum_{i<j}).
+    e_polar = pre * jnp.sum(qq / f_gb, axis=(-2, -1))
+
+    e_sa = GB_SA_FACTOR * jnp.sum(
+        (radius + GB_PROBE) ** 2 * (radius / rb) ** 6, axis=-1
+    )
+    return e_polar + e_sa

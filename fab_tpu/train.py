@@ -172,6 +172,7 @@ class Trainer:
         plotter: Optional[Plotter] = None,
         save_path: str = "",
         lr_schedule: Optional[Callable[[Array], Array]] = None,
+        dtype=jnp.float32,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -180,12 +181,13 @@ class Trainer:
         self.save_dir = save_path
         self.plots_dir = os.path.join(save_path, "plots")
         self.checkpoints_dir = os.path.join(save_path, "model_checkpoints")
+        self.dtype = dtype  # param/buffer dtype (use_64_bit -> jnp.float64)
         del lr_schedule  # schedules are baked into the optax optimizer
 
     def init_state(self, key: jax.Array) -> TrainState:
         from fab_tpu.parallel.mesh import replicate, shard_flow_params
 
-        params = self.model.init(key)
+        params = self.model.init(key, self.dtype)
         params = dict(
             replicate(params), flow=shard_flow_params(self.model.flow, params["flow"])
         )
@@ -383,8 +385,9 @@ class BufferTrainer(Trainer):
         logger: Optional[Logger] = None,
         plotter: Optional[Plotter] = None,
         save_path: str = "",
+        dtype=jnp.float32,
     ):
-        super().__init__(model, optimizer, logger, plotter, save_path)
+        super().__init__(model, optimizer, logger, plotter, save_path, dtype=dtype)
         self.buffer = buffer
         self.n_batches_buffer_sampling = n_batches_buffer_sampling
         self.clip_ais_weights_frac = clip_ais_weights_frac
@@ -393,11 +396,11 @@ class BufferTrainer(Trainer):
         from fab_tpu.parallel.mesh import replicate, shard_flow_params
 
         key, key_init = jax.random.split(key)
-        params = self.model.init(key_init)
+        params = self.model.init(key_init, self.dtype)
         params = dict(
             replicate(params), flow=shard_flow_params(self.model.flow, params["flow"])
         )
-        buffer_state = self.buffer.init()
+        buffer_state = self.buffer.init(self.dtype)
 
         @jax.jit
         def fill_step(params, buffer_state, key):
@@ -533,8 +536,9 @@ class PrioritisedBufferTrainer(Trainer):
         logger: Optional[Logger] = None,
         plotter: Optional[Plotter] = None,
         save_path: str = "",
+        dtype=jnp.float32,
     ):
-        super().__init__(model, optimizer, logger, plotter, save_path)
+        super().__init__(model, optimizer, logger, plotter, save_path, dtype=dtype)
         self.buffer = buffer
         self.n_batches_buffer_sampling = n_batches_buffer_sampling
         self.w_adjust_max_clip = w_adjust_max_clip
@@ -550,11 +554,11 @@ class PrioritisedBufferTrainer(Trainer):
         from fab_tpu.parallel.mesh import replicate, shard_flow_params
 
         key, key_init = jax.random.split(key)
-        params = self.model.init(key_init)
+        params = self.model.init(key_init, self.dtype)
         params = dict(
             replicate(params), flow=shard_flow_params(self.model.flow, params["flow"])
         )
-        buffer_state = self.buffer.init()
+        buffer_state = self.buffer.init(self.dtype)
 
         @jax.jit
         def fill_step(params, buffer_state, key):

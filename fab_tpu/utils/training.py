@@ -33,6 +33,25 @@ class ConfigDict(dict):
         return out
 
 
+def maybe_enable_x64(cfg: ConfigDict):
+    """Enable f64 if the config asks for it; return the compute dtype.
+
+    The reference trains every paper config in double precision
+    (experiments/config/gmm.yaml `use_64_bit: true`, many_well.yaml:41; the ALDP
+    script defaults torch to double, experiments/aldp/train.py). Call this BEFORE
+    constructing targets/models so every constant is created at the right width.
+    On TPU, f64 is XLA-emulated — slower but exact; small FAB flows are
+    dispatch-latency-bound so the cost is modest (measured in BASELINE.md).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if cfg.get("training") and cfg.training.get("use_64_bit"):
+        jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    return jnp.float32
+
+
 def load_config(path: str) -> ConfigDict:
     """Load a YAML config (fab/utils/training.py:8-16)."""
     with open(path) as f:

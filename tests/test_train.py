@@ -143,6 +143,29 @@ def test_buffer_trainer_runs_and_adjusts(key, tmp_path):
     np.testing.assert_allclose(np.asarray(state2.buffer_state.log_w), lw)
 
 
+def test_f64_training(key, tmp_path):
+    """use_64_bit path: params/buffer in f64, one buffered step trains finitely
+    (reference trains every paper config in double, gmm.yaml use_64_bit)."""
+    with jax.enable_x64():
+        model = small_gmm_model()
+        buffer = PrioritisedReplayBuffer(dim=2, max_length=512, min_sample_length=128)
+        trainer = PrioritisedBufferTrainer(
+            model, make_optimizer(1e-3, 100.0), buffer,
+            n_batches_buffer_sampling=2, logger=ListLogger(),
+            save_path=str(tmp_path), dtype=jnp.float64,
+        )
+        state = trainer.init_state(key, batch_size=64)
+        assert all(
+            x.dtype == jnp.float64 for x in jax.tree.leaves(state.params["flow"])
+        )
+        assert state.buffer_state.x.dtype == jnp.float64
+        step = trainer.make_train_step(batch_size=64)
+        state, info = step(state, key)
+        assert info["loss"].dtype == jnp.float64
+        assert bool(jnp.isfinite(info["loss"]))
+
+
+@pytest.mark.slow
 def test_gmm_experiment_entry_smoke(tmp_path, monkeypatch):
     """Drive the CLI entry end-to-end with a tiny config (fast-config pattern)."""
     monkeypatch.chdir(tmp_path)
@@ -173,6 +196,7 @@ def test_gmm_experiment_entry_smoke(tmp_path, monkeypatch):
     assert "model_checkpoints" in contents and "plots" in contents
 
 
+@pytest.mark.slow
 def test_many_well_experiment_entry_smoke(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     import sys
