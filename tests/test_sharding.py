@@ -100,6 +100,48 @@ def test_full_buffer_train_step_sharded(key):
         assert len(state.buffer_state.x.sharding.device_set) == 8
 
 
+def test_buffer_train_step_matches_single_device(key):
+    """ONE full prioritised-buffer iteration (AIS + buffer add + Gumbel-top-k
+    sample + replay updates + priority adjust) gives numerically identical
+    results on the mesh and on a single device (same keys; only reduction order
+    differs)."""
+    model = build()
+    batch = 64
+
+    def one_step(mesh):
+        buffer = PrioritisedReplayBuffer(dim=4, max_length=512, min_sample_length=128)
+        trainer = PrioritisedBufferTrainer(
+            model, make_optimizer(1e-3, 100.0), buffer,
+            n_batches_buffer_sampling=2, logger=ListLogger(),
+        )
+        if mesh is None:
+            state = trainer.init_state(key, batch_size=batch)
+            return trainer.make_train_step(batch_size=batch)(state, key)
+        with use_mesh(mesh):
+            state = trainer.init_state(key, batch_size=batch)
+            return trainer.make_train_step(batch_size=batch)(state, key)
+
+    state_single, info_single = one_step(None)
+    state_mesh, info_mesh = one_step(make_mesh(8, 1))
+    np.testing.assert_allclose(
+        float(info_mesh["loss"]), float(info_single["loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(info_mesh["ess_ais"]), float(info_single["ess_ais"]), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree.leaves(state_mesh.params["flow"]),
+        jax.tree.leaves(state_single.params["flow"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # Buffer contents: same rows written with the same priorities.
+    lw_m = np.asarray(state_mesh.buffer_state.log_w)
+    lw_s = np.asarray(state_single.buffer_state.log_w)
+    finite = np.isfinite(lw_s)
+    assert (finite == np.isfinite(lw_m)).all()
+    np.testing.assert_allclose(lw_m[finite], lw_s[finite], rtol=1e-4, atol=1e-5)
+
+
 def test_graft_entry_contract():
     """__graft_entry__.entry compiles single-chip; dryrun_multichip(8) runs."""
     import importlib.util
