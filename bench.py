@@ -77,7 +77,48 @@ def measure_ours(n_warmup=2, n_steps=10, batch_size=2048, precision="highest"):
     jax.block_until_ready(state)
     elapsed = time.time() - t0
     assert bool(jax.numpy.isfinite(info["loss"])), "bench loss went non-finite"
-    return batch_size * n_steps / elapsed / n_devices
+
+    # MFU / roofline: XLA's own cost model for the ONE compiled program that is the
+    # whole training iteration, divided by measured wall time and chip peak.
+    mfu = hw_flops = None
+    try:
+        ca = step.lower(state, jax.random.fold_in(key, 0)).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_step = float(ca.get("flops", 0.0))
+        if flops_per_step > 0:
+            achieved = flops_per_step * n_steps / elapsed / n_devices
+            peak = _chip_peak_flops(jax.devices()[0], precision)
+            hw_flops = achieved
+            mfu = achieved / peak if peak else None
+    except Exception as e:  # cost model availability varies by backend
+        print(f"cost analysis unavailable: {e}", file=sys.stderr)
+    return batch_size * n_steps / elapsed / n_devices, mfu, hw_flops
+
+
+def _chip_peak_flops(device, precision: str) -> float:
+    """Peak matmul FLOPs/s for the benched device at the benched precision.
+
+    TPU v5e: 197 TFLOP/s bf16. At jax_default_matmul_precision='highest' each f32
+    matmul runs as 6 bf16 passes, so the effective f32 peak is ~197/6 TFLOP/s —
+    the MFU is reported against THAT number (the relevant roofline for the
+    numerics FAB needs), with the bf16 figure in BASELINE.md for context.
+    CPU fallback: assume 50 GFLOP/s/core * local core count (rough)."""
+    kind = getattr(device, "device_kind", "")
+    if "v5 lite" in kind or "v5e" in kind:
+        peak_bf16 = 197e12
+    elif "v4" in kind:
+        peak_bf16 = 275e12
+    elif "v6" in kind:
+        peak_bf16 = 918e12
+    elif "TPU" in kind or "tpu" in kind.lower():
+        peak_bf16 = 197e12
+    else:
+        import os as _os
+
+        return 50e9 * (_os.cpu_count() or 1)
+    passes = {"default": 1, "high": 3, "highest": 6}.get(precision, 1)
+    return peak_bf16 / passes
 
 
 def get_torch_baseline():
@@ -96,7 +137,7 @@ def get_torch_baseline():
 
 
 def main():
-    value = measure_ours()
+    value, mfu, hw_flops = measure_ours()
     try:
         baseline = get_torch_baseline()
         vs = value / baseline
@@ -110,6 +151,10 @@ def main():
                 "value": round(value, 2),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(vs, 2) if vs == vs else None,
+                "mfu": round(mfu, 4) if mfu is not None else None,
+                "achieved_flops_per_s": (
+                    round(hw_flops) if hw_flops is not None else None
+                ),
             }
         )
     )
