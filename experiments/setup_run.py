@@ -127,6 +127,7 @@ def setup_model(cfg: ConfigDict, target) -> FABModel:
             layer_nodes_per_dim=cfg.flow.layer_nodes_per_dim,
             act_norm=cfg.flow.act_norm,
             scale_cap=cfg.flow.get("scale_cap", 0.0),
+            fused_coupling=bool(cfg.flow.get("fused_coupling", False)),
         )
     to_cfg = cfg.fab.transition_operator
     if to_cfg.type == "hmc":

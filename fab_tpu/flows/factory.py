@@ -24,16 +24,27 @@ def make_realnvp(
     act_norm: bool = True,
     scale_cap: float = 0.0,
     fused: bool = False,
+    fused_coupling: bool = False,
 ) -> Flow:
     """RealNVP stack: coupling + LU-linear (+ ActNorm) per layer.
 
     ``fused=True`` returns a FusedRealNVPFlow whose whole forward/inverse pass runs
-    as one Pallas kernel on TPU (requires act_norm=False, scale_cap=0).
+    as one Pallas kernel on TPU (small dims only; weights must fit VMEM).
+    ``fused_coupling=True`` swaps each coupling layer for LargeFusedCoupling — the
+    per-layer streamed kernel for LARGE event dims (LGCP-1600 class) where the
+    conditioner weights exceed VMEM (fab_tpu/ops/coupling_kernel.py).
     """
     bijectors: Tuple[Bijector, ...] = ()
     width = dim * layer_nodes_per_dim
     for _ in range(n_flow_layers):
-        bijectors += (AffineCoupling(hidden_units=width, scale_cap=scale_cap),)
+        if fused_coupling:
+            from fab_tpu.flows.large_coupling import LargeFusedCoupling
+
+            bijectors += (
+                LargeFusedCoupling(hidden_units=width, scale_cap=scale_cap),
+            )
+        else:
+            bijectors += (AffineCoupling(hidden_units=width, scale_cap=scale_cap),)
         bijectors += (LULinear(),)
         if act_norm:
             bijectors += (ActNorm(),)
