@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-from fab_tpu.utils.training import apply_overrides, load_config
+from fab_tpu.utils.training import apply_overrides, load_config, maybe_enable_x64
 
 from experiments.load_model_for_eval import load_model
 
@@ -94,6 +94,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     cfg = apply_overrides(load_config(args.config), args.overrides)
+    maybe_enable_x64(cfg)  # checkpoints from use_64_bit runs restore at full width
     target = build_target(cfg)
 
     rows = []

@@ -65,7 +65,10 @@ def main(argv=None):
         n_mixes=cfg.target.n_mixes,
         loc_scaling=cfg.target.loc_scaling,
         log_var_scaling=cfg.target.log_var_scaling,
-        seed=cfg.training.seed,
+        # Target mixture is ALWAYS seed 0 (reference gmm/run.py:53 "seed of 0 for
+        # GMM problem"); training.seed only seeds the training run. Evaluation
+        # (experiments/evaluate.py) rebuilds the same seed-0 target.
+        seed=0,
         true_expectation_estimation_n_samples=int(
             cfg.target.get("true_expectation_n_samples", 1e7)
         ),
