@@ -24,6 +24,18 @@ implementation (same weights), like realnvp_kernel.py — the fused path acceler
 the forward/inverse evaluations (flow sampling, AIS chain init, eval log-probs);
 HMC's in-chain score evaluations keep XLA's fused backward.
 
+MEASURED RESULT (TPU v5e, B=512, D=1600, H=3200; experiments/bench_lgcp_kernel.py):
+correct on hardware (max err 3.6e-5 vs jnp) but an honest NEGATIVE on speed —
+kernel 1.89 ms vs XLA 1.84 ms per layer fwd at matmul precision 'highest' (0.97x),
+and 0.75x at 'default'. Roofline: 18.8 GFLOP/layer at the effective f32 peak
+(~197/6 = 33 TFLOP/s) bounds one layer at ~0.57 ms compute vs ~0.09 ms for the
+73 MB weight read at 800 GB/s — the op is COMPUTE-bound, so the HBM round-trips
+of the [B, H] activations that this kernel eliminates (~20 MB/layer vs 73 MB
+weights) cannot buy much, and XLA's own matmul pipelining is already at the same
+~10-14 TFLOP/s. Kept off by default (flow.fused_coupling config flag) as the
+starting point for shapes where the balance differs (much larger H/B ratios or
+weight-resident multi-layer fusion).
+
 Reference context: the coupling math matches fab_tpu/flows/coupling.py (reference
 RealNVP layer, experiments/make_flow/make_normflow_model.py:11-30).
 """

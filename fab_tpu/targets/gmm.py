@@ -119,9 +119,19 @@ class GMM(TargetDistribution):
             test_x = self.test_set(key)
             log_q_test = log_q_fn(test_x)
             log_p_test = self.log_prob(test_x)
+            # Finite-masked means (deviation from gmm.py:78-99, which would NaN the
+            # whole metric): a single tail test draw can overflow the flow inverse;
+            # such rows are excluded and COUNTED instead of poisoning the mean —
+            # the repo-wide mask-don't-crash policy (SURVEY §5).
+            ok = jnp.isfinite(log_q_test) & jnp.isfinite(log_p_test)
+            n_ok = jnp.maximum(jnp.sum(ok), 1)
+            mean_ok = lambda v: jnp.sum(jnp.where(ok, v, 0.0)) / n_ok
             info.update(
-                test_set_mean_log_prob=jnp.mean(log_q_test),
-                kl_forward=jnp.mean(log_p_test - log_q_test),
-                ess_over_p=effective_sample_size_over_p(log_p_test - log_q_test),
+                test_set_mean_log_prob=mean_ok(log_q_test),
+                kl_forward=mean_ok(log_p_test - log_q_test),
+                ess_over_p=effective_sample_size_over_p(
+                    jnp.where(ok, log_p_test - log_q_test, -jnp.inf)
+                ),
+                test_set_n_nonfinite=jnp.sum(~ok),
             )
         return info
