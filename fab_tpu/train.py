@@ -158,6 +158,9 @@ def make_optimizer(
 def _schedule(n_iterations: int, n_points: Optional[int]) -> set:
     if not n_points:
         return set()
+    if n_points == 1:
+        # np.linspace(1, n, 1) == [1]; a single checkpoint/eval belongs at the END.
+        return {n_iterations}
     return set(np.linspace(1, n_iterations, n_points, dtype=int).tolist())
 
 
