@@ -313,6 +313,8 @@ class Trainer:
                 steps[k] = self.make_scanned_train_step(batch_size, k)
             return steps[k](state, key)
 
+        compiled_ks: set = set()
+
         events = sorted(
             {n_iterations} | checkpoint_iter | eval_iter | plot_iter
         )
@@ -348,8 +350,15 @@ class Trainer:
                 self._plots(state, key_plot, i, save)
             if i in checkpoint_iter and save:
                 self.save_checkpoint(state, i)
-            max_it_time = max(max_it_time, (time() - it_start) / k)
-            if tlimit is not None:
+            # Per-iteration time estimate for the tlimit projection. Chunks that
+            # triggered a fresh XLA compile (first use of a chunk length, plus the
+            # first eval/plot programs riding along) are excluded: counting a
+            # multi-minute compile as "one iteration" and projecting it over the
+            # next log_every iterations aborts runs hours before their limit.
+            if k in compiled_ks:
+                max_it_time = max(max_it_time, (time() - it_start) / k)
+            compiled_ks.add(k)
+            if tlimit is not None and max_it_time > 0.0:
                 hours = (time() - start_time) / 3600
                 if hours + max_it_time * k / 3600 > tlimit:
                     if save and i not in checkpoint_iter:
