@@ -1,0 +1,31 @@
+#!/bin/bash
+# Evaluate the GMM-40 method-study checkpoints (results/gmm_study/<method>/<seed>)
+# with the reference evaluation protocol: 50k flow/AIS samples, inner batch 500,
+# f64, AIS target p (experiments/gmm/evaluation.py:50-121 analogue).
+# Emits reports/gmm_study_results.csv + a LaTeX table.
+# Usage: bash experiments/eval_gmm_study.sh [n_samples]
+set -u
+cd "$(dirname "$0")/.."
+export MPLBACKEND=Agg JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= FAB_TPU_TESTS_REEXECED=1
+N=${1:-50000}
+
+RUNS=()
+for d in results/gmm_study/*/seed*; do
+  [ -d "$d" ] || continue
+  method=$(basename "$(dirname "$d")")
+  seed=$(basename "$d" | sed 's/seed//')
+  latest=$(ls -d "$d"/*/ 2>/dev/null | sort | tail -1)
+  [ -n "$latest" ] || continue
+  if compgen -G "${latest}model_checkpoints/iter_*" > /dev/null; then
+    RUNS+=("--run" "${method}_seed${seed}=${latest%/}")
+  fi
+done
+echo "evaluating ${#RUNS[@]} args"
+
+mkdir -p reports
+python -u experiments/evaluate.py --config experiments/configs/gmm.yaml \
+  "${RUNS[@]}" --num-samples "$N" --inner-batch 500 \
+  --out reports/gmm_study_results.csv \
+  fab.loss_type=fab_alpha_div
+python experiments/latex_table.py --csv reports/gmm_study_results.csv \
+  --problem gmm | tee reports/gmm_study_table.tex
