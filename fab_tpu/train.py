@@ -342,6 +342,16 @@ class Trainer:
                 )
             host_info["step"] = i
             self.logger.write(host_info)
+            # Rate-limited stdout progress (the reference's tqdm postfix,
+            # fab/train.py:93,122-125): at most one line per minute.
+            now = time()
+            if now - getattr(self, "_last_progress", 0.0) > 60.0:
+                self._last_progress = now
+                parts = [f"iter {i}/{n_iterations}"]
+                for k_ in ("loss", "ess_ais", "ess_base", "n_valid"):
+                    if k_ in host_info:
+                        parts.append(f"{k_}={float(host_info[k_]):.4g}")
+                print("  ".join(parts), flush=True)
             if i in eval_iter:
                 key, key_eval = jax.random.split(key)
                 self.perform_eval(state, key_eval, i, eval_batch_size, batch_size)
