@@ -10,9 +10,10 @@ export MPLBACKEND=Agg JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= FAB_TPU_TESTS_REEX
 N=${1:-50000}
 
 RUNS=()
-for d in results/gmm_study/*/seed*; do
+for d in results/gmm_study/*/seed* results/gmm_buffer_f64/seed*; do
   [ -d "$d" ] || continue
   method=$(basename "$(dirname "$d")")
+  [ "$method" = gmm_buffer_f64 ] && method=fab_buffer
   seed=$(basename "$d" | sed 's/seed//')
   latest=$(ls -d "$d"/*/ 2>/dev/null | sort | tail -1)
   [ -n "$latest" ] || continue

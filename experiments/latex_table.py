@@ -82,7 +82,8 @@ def main(argv=None):
                 continue
             mean = np.mean(vals)
             sem = np.std(vals) / max(len(vals) - 1, 1) ** 0.5
-            cells.append(f"${mean:.3f} \\pm {sem:.3f}$")
+            fmt = ".3f" if 1e-3 <= abs(mean) < 1e4 or mean == 0 else ".3g"
+            cells.append(f"${mean:{fmt}} \\pm {sem:.3g}$")
         print(" & ".join(cells) + r" \\")
 
 

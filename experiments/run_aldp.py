@@ -289,11 +289,20 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         zs.append(np.asarray(model.flow.sample(state.params["flow"], sub, chunk)))
     z_sample = np.concatenate(zs)[:n_eval_samples]
+    # Label metrics with the actually-reached iteration (tlimit may stop early):
+    # the trainer checkpoints at the stop iteration, so the latest iter_N is it.
+    from fab_tpu.checkpoint import latest_checkpoint
+
+    ckpt = latest_checkpoint(os.path.join(save_root, "model_checkpoints"))
+    try:
+        reached = int(os.path.basename(os.path.dirname(ckpt)).split("_")[-1])
+    except (TypeError, ValueError, AttributeError):
+        reached = n_iter
     metrics = evaluate_aldp(
         target,
         z_sample,
         z_test,
-        iteration=n_iter,
+        iteration=reached,  # the actually-reached iteration (tlimit may stop early)
         metric_dir=os.path.join(save_root, "metrics"),
         plot_dir=os.path.join(save_root, "plots"),
     )

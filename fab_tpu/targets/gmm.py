@@ -124,13 +124,21 @@ class GMM(TargetDistribution):
             # such rows are excluded and COUNTED instead of poisoning the mean —
             # the repo-wide mask-don't-crash policy (SURVEY §5).
             ok = jnp.isfinite(log_q_test) & jnp.isfinite(log_p_test)
-            n_ok = jnp.maximum(jnp.sum(ok), 1)
-            mean_ok = lambda v: jnp.sum(jnp.where(ok, v, 0.0)) / n_ok
+            n_ok = jnp.sum(ok)
+            mean_ok = lambda v: jnp.where(
+                n_ok == 0,  # all rows invalid: report NaN, not a fake 0.0
+                jnp.nan,
+                jnp.sum(jnp.where(ok, v, 0.0)) / jnp.maximum(n_ok, 1),
+            )
             info.update(
                 test_set_mean_log_prob=mean_ok(log_q_test),
                 kl_forward=mean_ok(log_p_test - log_q_test),
-                ess_over_p=effective_sample_size_over_p(
-                    jnp.where(ok, log_p_test - log_q_test, -jnp.inf)
+                ess_over_p=jnp.where(
+                    n_ok == 0,
+                    jnp.nan,  # 1/mean(exp(-inf)) would report +inf ("perfect")
+                    effective_sample_size_over_p(
+                        jnp.where(ok, log_p_test - log_q_test, -jnp.inf)
+                    ),
                 ),
                 test_set_n_nonfinite=jnp.sum(~ok),
             )
