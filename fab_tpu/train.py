@@ -373,6 +373,14 @@ class Trainer:
                 if hours + max_it_time * k / 3600 > tlimit:
                     if save and i not in checkpoint_iter:
                         self.save_checkpoint(state, i)
+                    # Scheduled evals past this point will never run; record one
+                    # at the stop iteration so time-boxed runs still end with
+                    # eval metrics in the log (preemption-safe, fab/train.py:142).
+                    if n_eval and i not in eval_iter:
+                        key, key_eval = jax.random.split(key)
+                        self.perform_eval(
+                            state, key_eval, i, eval_batch_size, batch_size
+                        )
                     self.logger.close()
                     print(f"Ending training at iteration {i}: tlimit reached.")
                     return state
