@@ -85,13 +85,18 @@ def main(argv=None):
                 f"alpha={alpha} seed={seed}: ess_flow={row['eval_ess_flow']:.4f} "
                 f"ess_ais={row['eval_ess_ais']:.4f}"
             )
+            # Rewrite the CSV after every completed run so an interrupted
+            # study (tlimit, preemption) still leaves its finished rows.
+            _write_rows(args.out, rows)
+    print(f"wrote {args.out}")
 
+
+def _write_rows(path, rows):
     cols = sorted({k for r in rows for k in r})
-    with open(args.out, "w", newline="") as f:
+    with open(path, "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=cols, restval="")
         writer.writeheader()
         writer.writerows(rows)
-    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
