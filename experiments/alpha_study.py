@@ -37,7 +37,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from experiments.run_gmm import main as run_gmm_main  # noqa: F401 (target setup)
-    from experiments.setup_run import setup_precision, setup_model
+    from experiments.setup_run import get_n_iterations, setup_precision, setup_model
     from fab_tpu.targets import GMM
     from fab_tpu.train import Trainer, make_optimizer
     from fab_tpu.utils.logging import ListLogger
@@ -65,9 +65,20 @@ def main(argv=None):
                 make_optimizer(cfg.training.lr, cfg.training.get("max_grad_norm")),
                 logger=ListLogger(),
             )
+            t = cfg.training
+            n_iterations = get_n_iterations(
+                t.n_iterations,
+                t.get("n_flow_forward_pass"),
+                t.batch_size,
+                cfg.fab.loss_type,
+                cfg.fab.transition_operator.n_inner_steps,
+                cfg.fab.n_intermediate_distributions,
+                cfg.fab.transition_operator.type,
+                use_buffer=False,  # the study trains with the plain Trainer
+            )
             state = trainer.run(
                 jax.random.key(seed),
-                n_iterations=cfg.training.n_iterations,
+                n_iterations=n_iterations,
                 batch_size=cfg.training.batch_size,
                 save=False,
                 log_every=100,
