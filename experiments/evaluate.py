@@ -80,6 +80,14 @@ def evaluate_checkpoint(cfg, target, path, num_samples, inner_batch, seed=0):
     )
 
 
+def _write_rows(path, rows):
+    cols = ["model_name"] + sorted({k for r in rows for k in r} - {"model_name"})
+    with open(path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=cols, restval="")
+        writer.writeheader()
+        writer.writerows(rows)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
@@ -107,14 +115,11 @@ def main(argv=None):
         info["model_name"] = name
         rows.append(info)
         print(name, {k: round(v, 4) for k, v in info.items() if k != "model_name"})
+        # Rewrite after every checkpoint so an interrupted evaluation keeps
+        # its finished rows.
+        _write_rows(args.out, rows)
 
     if rows:
-        cols = ["model_name"] + sorted({k for r in rows for k in r} - {"model_name"})
-        with open(args.out, "w", newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=cols, restval="")
-            writer.writeheader()
-            writer.writerows(rows)
-
         # mean / sem per method over seeds (gmm/evaluation.py:75-80).
         grouped = defaultdict(list)
         for r in rows:
