@@ -154,4 +154,15 @@ def make_aldp_model(cfg) -> Tuple[FABModel, AldpBoltzmann]:
         alpha=fab_cfg.get("alpha", 2.0),
         loss_type=fab_cfg.get("loss_type", "fab_alpha_div"),
     )
+    # Train-time chirality filter (reference fab_buff.yaml:70 filter_chirality:
+    # train; applied at experiments/aldp/train.py:228-243,318-326). D-form AIS /
+    # flow samples are masked out before the loss and the buffer-add.
+    if cfg.training.get("filter_chirality") == "train":
+        import dataclasses
+
+        from fab_tpu.utils.aldp_eval import make_chirality_filter_jax
+
+        model = dataclasses.replace(
+            model, sample_filter=make_chirality_filter_jax()
+        )
     return model, target

@@ -83,26 +83,46 @@ def buffer_replay_loss(
     return loss, log_w_adjust, w_adjust_pre_clip
 
 
-def flow_reverse_kl(log_q: Array, log_p: Array) -> Array:
-    """Reverse KL on flow samples (fab/core.py:130-133)."""
-    return jnp.mean(log_q) - jnp.mean(log_p)
+def _masked_mean(v: Array, mask: Optional[Array]) -> Array:
+    """Mean over retained rows (the reference drops rows; we mask)."""
+    if mask is None:
+        return jnp.mean(v)
+    n = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(jnp.where(mask, v, 0.0)) / n
 
 
-def flow_alpha_2_div(log_q: Array, log_p: Array) -> Array:
+def flow_reverse_kl(
+    log_q: Array, log_p: Array, mask: Optional[Array] = None
+) -> Array:
+    """Reverse KL on flow samples (fab/core.py:130-133); ``mask`` restricts the
+    means to retained rows (train-time chirality filter, aldp/train.py:244-250)."""
+    return _masked_mean(log_q, mask) - _masked_mean(log_p, mask)
+
+
+def flow_alpha_2_div(
+    log_q: Array, log_p: Array, mask: Optional[Array] = None
+) -> Array:
     """logsumexp form of the alpha-2 divergence (fab/core.py:135-138; experimental)."""
-    return jax.scipy.special.logsumexp(2 * (log_p - log_q), axis=0)
+    lw = 2 * (log_p - log_q)
+    if mask is not None:
+        lw = jnp.where(mask, lw, -jnp.inf)
+    return jax.scipy.special.logsumexp(lw, axis=0)
 
 
-def flow_alpha_2_div_unbiased(log_q: Array, log_p: Array) -> Array:
+def flow_alpha_2_div_unbiased(
+    log_q: Array, log_p: Array, mask: Optional[Array] = None
+) -> Array:
     """Unbiased alpha-2 estimate from flow samples (fab/core.py:140-145;
     experimental)."""
-    return jnp.mean(jnp.exp(2 * (log_p - log_q)) * log_q)
+    return _masked_mean(jnp.exp(2 * (log_p - log_q)) * log_q, mask)
 
 
-def flow_alpha_2_div_nis(log_q: Array, log_p: Array) -> Array:
+def flow_alpha_2_div_nis(
+    log_q: Array, log_p: Array, mask: Optional[Array] = None
+) -> Array:
     """Neural-IS loss (arXiv:1808.03856), fab/core.py:147-152."""
     w_sq = jax.lax.stop_gradient(jnp.exp(2 * (log_p - log_q)))
-    return -jnp.mean(w_sq * log_q)
+    return -_masked_mean(w_sq * log_q, mask)
 
 
 def forward_kl(log_q_xp: Array) -> Array:

@@ -33,6 +33,10 @@ class FABModel:
     ais: Optional[AnnealedImportanceSampler]
     loss_type: str
     alpha: float = 2.0
+    # Optional pure fn (x, mask) -> mask applied to sampled batches before the
+    # loss / buffer-add — the train-time chirality filter for ALDP (reference
+    # experiments/aldp/train.py:228-243,318-326, fab_buff.yaml filter_chirality).
+    sample_filter: Optional[Any] = None
 
     @classmethod
     def create(
@@ -78,6 +82,12 @@ class FABModel:
             )
         return params
 
+    def filter_batch(self, x: Array, mask: Array) -> Array:
+        """Apply the optional sample filter (e.g. ALDP train-time chirality)."""
+        if self.sample_filter is None:
+            return mask
+        return self.sample_filter(x, mask)
+
     # ------------------------------------------------------------------ losses
 
     def loss_and_info(
@@ -106,13 +116,14 @@ class FABModel:
                 p_target=False,
                 tune=tune,
             )
+            mask = self.filter_batch(result.point.x, result.mask)
             # Re-evaluate log q at the AIS points for the gradient; invalid rows
             # are zero-filled BEFORE the evaluation — masking only the loss value
             # would still let NaNs poison the backward pass (0 * NaN cotangents).
-            x_safe = jnp.where(result.mask[:, None], result.point.x, 0.0)
+            x_safe = jnp.where(mask[:, None], result.point.x, 0.0)
             log_q_x = self.flow.log_prob(flow_params, x_safe)
             loss = losses.fab_alpha_div(
-                log_q_x, result.log_w, self.alpha, result.mask
+                log_q_x, result.log_w, self.alpha, mask
             )
             new_params["transition"] = result.transition_state
             info.update(result.info)
@@ -125,10 +136,11 @@ class FABModel:
                 p_target=False,
                 tune=tune,
             )
-            x_safe = jnp.where(result.mask[:, None], result.point.x, 0.0)
+            mask = self.filter_batch(result.point.x, result.mask)
+            x_safe = jnp.where(mask[:, None], result.point.x, 0.0)
             log_q_x = self.flow.log_prob(flow_params, x_safe)
             loss = losses.fab_ub_alpha_2_div(
-                log_q_x, result.point.log_p, result.log_w, result.mask
+                log_q_x, result.point.log_p, result.log_w, mask
             )
             new_params["transition"] = result.transition_state
             info.update(result.info)
@@ -141,7 +153,15 @@ class FABModel:
             x, log_q = self.flow.sample_and_log_prob(flow_params, key, batch_size)
             log_p = self.target.log_prob(x)
             loss_fn = getattr(losses, self.loss_type)
-            loss = loss_fn(log_q, log_p)
+            if self.sample_filter is not None:
+                # Train-time chirality filter on flow samples (reference
+                # aldp/train.py:230-260): retained-row means only.
+                mask = self.sample_filter(
+                    x, jnp.isfinite(log_q) & jnp.isfinite(log_p)
+                )
+                loss = loss_fn(log_q, log_p, mask=mask)
+            else:
+                loss = loss_fn(log_q, log_p)
         elif self.loss_type == "target_forward_kl":
             x_p = self.target.sample(key, batch_size)
             loss = losses.forward_kl(self.flow.log_prob(flow_params, x_p))

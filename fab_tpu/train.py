@@ -642,12 +642,22 @@ class PrioritisedBufferTrainer(Trainer):
                 p_target=False,
                 tune=True,
             )
+            # Optional train-time sample filter (ALDP chirality: mask D-form rows
+            # to -inf priority before buffer-add, matching the reference's
+            # row-dropping at experiments/aldp/train.py:318-326).
+            add_mask = model.filter_batch(result.point.x, result.mask)
+            filter_info = {}
+            if model.sample_filter is not None:
+                n_valid = jnp.maximum(jnp.sum(result.mask), 1)
+                filter_info["frac_filter_pass"] = (
+                    jnp.sum(add_mask & result.mask) / n_valid
+                )
             buffer_state = buffer.add(
                 state.buffer_state,
                 result.point.x,
                 result.log_w,
                 result.point.log_q,
-                result.mask,
+                add_mask,
             )
             # 2. Sample replay batches ([n_batches, batch] each).
             xs, log_ws, log_q_olds, idxs = buffer.sample_n_batches(
@@ -738,6 +748,7 @@ class PrioritisedBufferTrainer(Trainer):
             sampled_log_w = jnp.where(jnp.isfinite(log_ws), log_ws, 0.0)
             info = dict(
                 result.info,
+                **filter_info,
                 # Reference logs the *last* replay batch's values
                 # (train_with_prioritised_buffer.py:189-198).
                 **{k: v[-1] for k, v in replay_infos.items()},

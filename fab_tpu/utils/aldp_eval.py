@@ -63,6 +63,42 @@ def filter_chirality(
     return np.abs(_wrap(diff - mean_diff)) < threshold
 
 
+def make_chirality_filter_jax(
+    ind=CHIRALITY_DIMS,
+    mean_diff: Optional[float] = None,
+    threshold: float = 0.8,
+    min_frac: float = 0.1,
+):
+    """Pure-JAX train-time chirality filter: ``(x, mask) -> mask``.
+
+    Analogue of the reference's train-time ``filter_chirality`` application
+    (experiments/aldp/train.py:228-243,318-326 with fab_buff.yaml
+    ``filter_chirality: train``): D-form AIS samples are removed before the loss /
+    buffer-add. The reference drops rows (dynamic shapes); here the returned mask
+    marks them invalid so they carry -inf importance weight. The reference's
+    ``torch.mean(1.*ind_L) > 0.1`` guard (don't filter when almost everything is
+    D-form, which would starve training) is reproduced with ``min_frac``, computed
+    over currently-valid rows.
+    """
+    import jax.numpy as jnp
+
+    if mean_diff is None:
+        mean_diff = -2.0 * np.pi / 3.0
+    i0, i1 = ind
+
+    def wrap(a):
+        return (a + np.pi) % (2 * np.pi) - np.pi
+
+    def sample_filter(x, mask):
+        diff = wrap(x[:, i0] - x[:, i1])
+        ind_l = jnp.abs(wrap(diff - mean_diff)) < threshold
+        n_valid = jnp.maximum(jnp.sum(mask), 1)
+        frac_l = jnp.sum(ind_l & mask) / n_valid
+        return jnp.where(frac_l > min_frac, mask & ind_l, mask)
+
+    return sample_filter
+
+
 def evaluate_aldp(
     target,
     z_sample: np.ndarray,

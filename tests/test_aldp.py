@@ -150,6 +150,44 @@ def test_evaluate_aldp_runs(target, key):
     assert filter_chirality(z_a).mean() > 0.9
 
 
+def test_train_time_chirality_filter(key):
+    """JAX train-time filter == numpy eval filter + the reference's >10% guard
+    (experiments/aldp/train.py:321-326: only filter when L-fraction > 0.1)."""
+    from fab_tpu.utils.aldp_eval import (
+        CHIRALITY_DIMS,
+        filter_chirality,
+        make_chirality_filter_jax,
+    )
+
+    i0, i1 = CHIRALITY_DIMS
+    n = 400
+    z = np.array(jax.random.uniform(key, (n, 60), minval=-np.pi, maxval=np.pi))
+    # Make the first 60% L-form (diff near -2pi/3) and the rest D-form (+2pi/3).
+    z[: int(0.6 * n), i1] = z[: int(0.6 * n), i0] + 2 * np.pi / 3
+    z[int(0.6 * n):, i1] = z[int(0.6 * n):, i0] - 2 * np.pi / 3
+    z = (z + np.pi) % (2 * np.pi) - np.pi
+
+    f = make_chirality_filter_jax()
+    mask = np.ones(n, bool)
+    out = np.asarray(f(jnp.asarray(z), jnp.asarray(mask)))
+    np.testing.assert_array_equal(out, filter_chirality(z))
+    assert 0.55 < out.mean() < 0.65
+
+    # Guard: when < 10% of valid rows are L-form the mask is left unchanged.
+    z_d = z.copy()
+    z_d[:, i1] = z_d[:, i0] - 2 * np.pi / 3  # all D-form
+    z_d[:20, i1] = z_d[:20, i0] + 2 * np.pi / 3  # 5% L
+    z_d = (z_d + np.pi) % (2 * np.pi) - np.pi
+    out_d = np.asarray(f(jnp.asarray(z_d), jnp.asarray(mask)))
+    np.testing.assert_array_equal(out_d, mask)
+
+    # Already-invalid rows never resurrect.
+    mask2 = mask.copy()
+    mask2[::4] = False
+    out2 = np.asarray(f(jnp.asarray(z), jnp.asarray(mask2)))
+    assert not out2[::4].any()
+
+
 def test_aldp_flow_factory_variants(key):
     """Resampled-base (rbd) and SNF ALDP flow variants (reference aldp configs)."""
     from experiments.make_aldp_model import make_aldp_flow

@@ -143,6 +143,44 @@ def test_buffer_trainer_runs_and_adjusts(key, tmp_path):
     np.testing.assert_allclose(np.asarray(state2.buffer_state.log_w), lw)
 
 
+def test_sample_filter_in_buffer_trainer(key, tmp_path):
+    """A model-level sample_filter (ALDP chirality analogue) masks filtered AIS
+    rows to -inf priority before buffer-add and logs the pass fraction."""
+    import dataclasses
+
+    model = small_gmm_model()
+
+    def half_plane_filter(x, mask):
+        keep = x[:, 0] < 0.0
+        frac = jnp.sum(keep & mask) / jnp.maximum(jnp.sum(mask), 1)
+        return jnp.where(frac > 0.1, mask & keep, mask)
+
+    model = dataclasses.replace(model, sample_filter=half_plane_filter)
+    buffer = PrioritisedReplayBuffer(dim=2, max_length=512, min_sample_length=128)
+    logger = ListLogger()
+    trainer = PrioritisedBufferTrainer(
+        model, make_optimizer(1e-3, 100.0), buffer,
+        n_batches_buffer_sampling=2, w_adjust_max_clip=10.0, logger=logger,
+        save_path=str(tmp_path),
+    )
+    state = trainer.init_state(key, batch_size=64)
+    n_init = int(state.buffer_state.n_added)
+    state = trainer.run(key, n_iterations=8, batch_size=64, log_every=1, save=False)
+    fracs = np.asarray(logger.history["frac_filter_pass"])
+    assert np.isfinite(fracs).all() and (fracs <= 1.0).all()
+    # Rows added after init with x[0] >= 0 must carry -inf priority (dead rows).
+    bs = state.buffer_state
+    added = np.arange(n_init, n_init + 8 * 64) % buffer.max_length
+    x0 = np.asarray(bs.x)[added, 0]
+    lw = np.asarray(bs.log_w)[added]
+    assert not np.isfinite(lw[x0 >= 0]).any()
+    # The filter passed some rows every iteration (finite priorities exist).
+    assert np.isfinite(lw[x0 < 0]).any()
+    # The filter also gates the plain fab_alpha_div loss path.
+    loss, _ = model.loss_and_info(state.params, key, 64)
+    assert np.isfinite(float(loss))
+
+
 def test_f64_training(key, tmp_path):
     """use_64_bit path: params/buffer in f64, one buffered step trains finitely
     (reference trains every paper config in double, gmm.yaml use_64_bit)."""
