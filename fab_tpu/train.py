@@ -342,6 +342,14 @@ class Trainer:
                 )
             host_info["step"] = i
             self.logger.write(host_info)
+            # Per-iteration time estimate for the tlimit projection, snapshotted
+            # HERE (after the device_get sync, before eval/plot/checkpoint) so it
+            # measures training-step time only — eval/plot XLA compiles riding on
+            # a later chunk must not inflate it. Each chunk length's first run
+            # (its own compile) is excluded.
+            if k in compiled_ks:
+                max_it_time = max(max_it_time, (time() - it_start) / k)
+            compiled_ks.add(k)
             # Rate-limited stdout progress (the reference's tqdm postfix,
             # fab/train.py:93,122-125): at most one line per minute.
             now = time()
@@ -360,15 +368,12 @@ class Trainer:
                 self._plots(state, key_plot, i, save)
             if i in checkpoint_iter and save:
                 self.save_checkpoint(state, i)
-            # Per-iteration time estimate for the tlimit projection. Chunks that
-            # triggered a fresh XLA compile (first use of a chunk length, plus the
-            # first eval/plot programs riding along) are excluded: counting a
-            # multi-minute compile as "one iteration" and projecting it over the
-            # next log_every iterations aborts runs hours before their limit.
-            if k in compiled_ks:
-                max_it_time = max(max_it_time, (time() - it_start) / k)
-            compiled_ks.add(k)
-            if tlimit is not None and max_it_time > 0.0:
+            # tlimit projection: stop early enough that the next chunk (at the
+            # measured per-iteration rate) would not overshoot. While no clean
+            # per-iteration estimate exists yet (max_it_time == 0.0, e.g. no chunk
+            # length has repeated), fall back to plain wall-clock checking so the
+            # time box is always enforced.
+            if tlimit is not None:
                 hours = (time() - start_time) / 3600
                 if hours + max_it_time * k / 3600 > tlimit:
                     if save and i not in checkpoint_iter:
