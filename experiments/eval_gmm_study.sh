@@ -13,9 +13,16 @@ RUNS=()
 for d in results/gmm_study/*/seed* results/gmm_buffer_f64/seed*; do
   [ -d "$d" ] || continue
   method=$(basename "$(dirname "$d")")
-  [ "$method" = gmm_buffer_f64 ] && method=fab_buffer
+  if [ "$method" = gmm_buffer_f64 ]; then
+    method=fab_buffer
+  elif [ "$method" = fab_buffer ] && [ -d results/gmm_buffer_f64 ]; then
+    # gmm_buffer_f64 already provides the fab_buffer rows; skip duplicates.
+    continue
+  fi
   seed=$(basename "$d" | sed 's/seed//')
-  latest=$(ls -d "$d"/*/ 2>/dev/null | sort | tail -1)
+  # mtime sort (run-dir stamps were %d-%m-%Y before round 3, so lexical sort
+  # is not chronological across formats).
+  latest=$(ls -dt "$d"/*/ 2>/dev/null | head -1)
   [ -n "$latest" ] || continue
   if compgen -G "${latest}model_checkpoints/iter_*" > /dev/null; then
     RUNS+=("--run" "${method}_seed${seed}=${latest%/}")

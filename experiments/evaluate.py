@@ -108,8 +108,17 @@ def main(argv=None):
     rows = []
     for spec in args.run:
         name, path = spec.split("=", 1)
+        # Per-method flow-architecture flags, as the reference's evaluation loop
+        # does (gmm/evaluation.py:60-67): snf_* checkpoints need the SNF flow,
+        # rsb_* the resampled (LARS) base — else param trees don't match.
+        import copy
+
+        cfg_run = copy.deepcopy(cfg)
+        method = name.rsplit("_seed", 1)[0]
+        cfg_run.flow.use_snf = method.startswith("snf")
+        cfg_run.flow.resampled_base = method.startswith("rsb")
         info = evaluate_checkpoint(
-            cfg, target, path, args.num_samples, args.inner_batch
+            cfg_run, target, path, args.num_samples, args.inner_batch
         )
         info = {k: float(v) for k, v in info.items()}
         info["model_name"] = name

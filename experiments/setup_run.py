@@ -194,7 +194,9 @@ def setup_trainer_and_run_flow(cfg: ConfigDict, target, plotter=None):
         min_buffer_length=t.get("min_buffer_length"),
     )
 
-    stamp = datetime.datetime.now().strftime("%d-%m-%Y_%H-%M-%S")
+    # %Y-%m-%d so lexical order == chronological order (run-dir "latest"
+    # resolution in eval scripts and get_latest_checkpoint_dir).
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     save_path = os.path.join(cfg.evaluation.save_path, stamp)
     os.makedirs(save_path, exist_ok=True)
     logger = setup_logger(cfg, save_path)
