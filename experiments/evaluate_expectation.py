@@ -40,7 +40,14 @@ def bias_pair(target, samples, log_w):
     they are masked out instead of changing shapes)."""
     mask = jnp.isfinite(log_w)
     weighted = target.evaluate_expectation(samples, log_w, mask)
-    unweighted = target.evaluate_expectation(samples, jnp.zeros_like(log_w), mask)
+    # Reference additionally drops rows whose softmax(log_w) underflows to
+    # exactly 0 before the unweighted estimate (evaluation_…:35-37,
+    # valid_indices_unweighted); reproduce that on the finite rows.
+    w_bar = jax.nn.softmax(jnp.where(mask, log_w, -jnp.inf), axis=0)
+    mask_unweighted = mask & (w_bar > 0)
+    unweighted = target.evaluate_expectation(
+        samples, jnp.zeros_like(log_w), mask_unweighted
+    )
     return weighted, unweighted
 
 

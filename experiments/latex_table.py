@@ -80,10 +80,23 @@ def main(argv=None):
             if not vals:
                 cells.append("--")
                 continue
-            mean = np.mean(vals)
-            sem = np.std(vals) / max(len(vals) - 1, 1) ** 0.5
+            # Mode-collapsed flows produce astronomically overflowed forward-KL /
+            # log-prob estimates (test points in ~zero-density regions). Report
+            # such cells as a bounded "$>10^6$" marker instead of shipping raw
+            # 1e249-class floats into the table; the per-seed values stay in the
+            # CSV for auditing.
+            finite_vals = [v for v in vals if abs(v) < 1e6]
+            n_over = len(vals) - len(finite_vals)
+            if not finite_vals:
+                cells.append(r"$>10^{6}$ (overflow)")
+                continue
+            mean = np.mean(finite_vals)
+            sem = np.std(finite_vals) / max(len(finite_vals) - 1, 1) ** 0.5
             fmt = ".3f" if 1e-3 <= abs(mean) < 1e4 or mean == 0 else ".3g"
-            cells.append(f"${mean:{fmt}} \\pm {sem:.3g}$")
+            cell = f"${mean:{fmt}} \\pm {sem:.3g}$"
+            if n_over:
+                cell += rf" [{n_over}/{len(vals)} seeds overflowed]"
+            cells.append(cell)
         print(" & ".join(cells) + r" \\")
 
 

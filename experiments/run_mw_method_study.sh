@@ -15,6 +15,7 @@ set -u
 cd "$(dirname "$0")/.."
 export MPLBACKEND=Agg
 BUDGET=${1:-225000000}
+mkdir -p results/mw_study
 
 run() {  # method seed extra-overrides...
   local method=$1 seed=$2; shift 2
@@ -24,14 +25,22 @@ run() {  # method seed extra-overrides...
     return
   fi
   echo "[mw-study] $method seed $seed start $(date +%H:%M:%S)"
-  timeout 2400 python -u experiments/run_many_well.py \
+  # Time box via the trainer's tlimit (graceful stop WITH checkpoint + final
+  # eval) rather than an external SIGTERM timeout, which would leave no
+  # checkpoint and make the skip-guard silently retry the cell from scratch.
+  # The outer timeout is a 2x-tlimit backstop for hangs; rc=124 is flagged.
+  timeout 4800 python -u experiments/run_many_well.py \
     --config experiments/configs/many_well.yaml \
-    training.seed="$seed" training.use_64_bit=false \
+    training.seed="$seed" training.use_64_bit=false training.tlimit=0.66 \
     training.n_iterations=null training.n_flow_forward_pass="$BUDGET" \
     evaluation.save_path="$dir/" \
     evaluation.n_plots=0 evaluation.n_eval=1 evaluation.n_checkpoints=1 \
     "$@" > "/tmp/mw_study_${method}_s${seed}.log" 2>&1
-  echo "[mw-study] $method seed $seed done rc=$? $(date +%H:%M:%S)"
+  local rc=$?
+  if [ "$rc" = 124 ]; then
+    echo "[mw-study] FAILURE: $method seed $seed KILLED by backstop timeout — cell missing" | tee -a results/mw_study/FAILED
+  fi
+  echo "[mw-study] $method seed $seed done rc=$rc $(date +%H:%M:%S)"
 }
 
 for seed in 0 1 2; do
