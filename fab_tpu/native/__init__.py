@@ -39,9 +39,20 @@ def _build_library() -> str:
 
 
 class AldpEnergyServer:
-    """ctypes wrapper around the C++ batched energy/force kernel."""
+    """ctypes wrapper around the C++ batched energy/force kernel.
 
-    def __init__(self, tables, n_threads: int = 4):
+    ``gb=True`` additionally enables the GBSA-OBC2 implicit-solvent term (native
+    analogue of the reference's implicit-solvent OpenMM system,
+    fab/target_distributions/aldp.py:93-94) with parameters taken from the same
+    tables as the JAX backend.
+
+    NOTE: the C++ library holds ONE process-global parameter set (tables + GB
+    flag); constructing a second server re-initialises it, so the most recently
+    constructed server defines the active potential. One target per process is
+    the supported pattern (matching the reference's per-process OpenMM context).
+    """
+
+    def __init__(self, tables, n_threads: int = 4, gb: bool = False):
         self.lib = ctypes.CDLL(_build_library())
         self.lib.aldp_energy_batch.restype = None
         self.n_atoms = 22  # ALDP
@@ -74,6 +85,28 @@ class AldpEnergyServer:
             np.ascontiguousarray(t.pair_rmin, np.float64),
             int(n_threads),
         )
+        from fab_tpu.targets import aldp_ff as ff
+
+        self.lib.aldp_gb_init.argtypes = [
+            ctypes.c_int, c_dbl_p, c_dbl_p, c_dbl_p,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int,
+        ]
+        # Always call (a previously-loaded library may have GB enabled from an
+        # earlier server with gb=True — the flag must reflect THIS server).
+        self.lib.aldp_gb_init(
+            22,
+            np.ascontiguousarray(t.charges, np.float64),
+            np.ascontiguousarray(t.gb_radius, np.float64),
+            np.ascontiguousarray(t.gb_scale, np.float64),
+            float(ff.GB_OFFSET), float(ff.COULOMB_CONST),
+            float(ff.SOLUTE_DIELECTRIC), float(ff.SOLVENT_DIELECTRIC),
+            float(ff.GB_PROBE), float(ff.GB_SA_FACTOR),
+            float(ff.GB_ALPHA), float(ff.GB_BETA), float(ff.GB_GAMMA),
+            int(bool(gb)),
+        )
+        self.gb = bool(gb)
 
     # ------------------------------------------------------------- host numpy
 

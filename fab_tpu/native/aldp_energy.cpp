@@ -37,6 +37,27 @@ struct Tables {
 
 Tables g_tables;
 
+// GBSA-OBC2 implicit-solvent tables (aldp_gb_init). Parameters are injected from
+// fab_tpu/targets/aldp_ff.py so the C++ and JAX backends share one source of
+// truth; functional forms follow OpenMM's reference GBSA-OBC implementation
+// (ReferenceObc::computeBornRadii / computeBornEnergyForces), matching
+// fab_tpu/targets/aldp_ff.py born_radii/gb_energy_kcal.
+struct GbTables {
+  bool enabled = false;
+  int n = 0;
+  std::vector<double> q;       // partial charges [e]
+  std::vector<double> radius;  // intrinsic (mbondi2) radii [A]
+  std::vector<double> rho;     // offset radii = radius - offset
+  std::vector<double> sr;      // scaled descreening radii = scale * rho
+  double coulomb = 0.0;        // Coulomb constant [kcal/mol A e^-2]
+  double pre = 0.0;            // -0.5 C (1/eps_solute - 1/eps_solvent)
+  double probe = 1.4;          // solvent probe radius [A]
+  double sa_factor = 0.0;      // ACE surface-area prefactor [kcal/mol/A^2]
+  double alpha = 1.0, beta = 0.8, gamma = 4.85;  // OBC2
+};
+
+GbTables g_gb;
+
 inline void sub3(const double* a, const double* b, double* out) {
   out[0] = a[0] - b[0];
   out[1] = a[1] - b[1];
@@ -51,6 +72,8 @@ inline void cross3(const double* a, const double* b, double* out) {
   out[2] = a[0] * b[1] - a[1] * b[0];
 }
 inline double norm3(const double* a) { return std::sqrt(dot3(a, a)); }
+
+double gb_energy_one(const double* pos, double* f);
 
 // Energy + force of one configuration. pos: [n_atoms*3]; force accumulated
 // (negative gradient) into f if non-null.
@@ -164,7 +187,7 @@ double energy_one(const double* pos, double* f) {
     double x2 = t.pair_rmin[p] * t.pair_rmin[p] / r2;
     double x6 = x2 * x2 * x2;
     double e_lj = t.pair_eps[p] * (x6 * x6 - 2.0 * x6);
-    e += e_c + e_lj;
+    e += e_c + e_lj;  // (GB term, if enabled, is added after this loop)
     if (f) {
       // dE/dr: coulomb -qq/r^2; LJ: eps*(-12 x12 + 12 x6)/r.
       double dEdr = -e_c * inv + t.pair_eps[p] * (-12.0 * x6 * x6 + 12.0 * x6) * inv;
@@ -172,6 +195,137 @@ double energy_one(const double* pos, double* f) {
       for (int c = 0; c < 3; ++c) {
         f[3 * i + c] += coef * d[c];
         f[3 * j + c] -= coef * d[c];
+      }
+    }
+  }
+  if (g_gb.enabled) e += gb_energy_one(pos, f);
+  return e;
+}
+
+// HCT pairwise descreening integral term (aldp_ff.py born_radii) and its
+// d/d(distance). Atom j's descreening sphere (radius sr_j) seen from atom i
+// (offset radius rho_i) at distance d; caller checks activity rho_i < d + sr_j.
+inline double hct_term(double d, double rho_i, double sr_j, double* ddist) {
+  double U = 1.0 / (d + sr_j);
+  double ad = std::fabs(d - sr_j);
+  bool clamped = rho_i >= ad;  // lower bound hits 1/rho_i (j overlaps i's core)
+  double L = 1.0 / (clamped ? rho_i : ad);
+  double dU = -U * U;
+  double dL = clamped ? 0.0 : -L * L * (d > sr_j ? 1.0 : -1.0);
+  double U2 = U * U, L2 = L * L;
+  double sr2 = sr_j * sr_j;
+  double term = L - U + 0.25 * d * (U2 - L2) + (0.5 / d) * std::log(U / L) +
+                (0.25 * sr2 / d) * (L2 - U2);
+  double dterm = dL - dU + 0.25 * (U2 - L2) + 0.5 * d * (U * dU - L * dL) -
+                 (0.5 / (d * d)) * std::log(U / L) +
+                 (0.5 / d) * (dU / U - dL / L) -
+                 (0.25 * sr2 / (d * d)) * (L2 - U2) +
+                 (0.5 * sr2 / d) * (L * dL - U * dU);
+  if (rho_i < sr_j - d) {  // atom i fully inside j's descreening sphere
+    term += 2.0 * (1.0 / rho_i - L);
+    dterm += -2.0 * dL;
+  }
+  *ddist = dterm;
+  return term;
+}
+
+// GBSA-OBC2 energy (+ analytic forces into f) for one configuration.
+double gb_energy_one(const double* pos, double* f) {
+  const GbTables& g = g_gb;
+  const int n = g.n;
+  // Distances.
+  std::vector<double> d(n * n, 0.0), d2v(n * n, 0.0);
+  for (int i = 0; i < n; ++i)
+    for (int j = i + 1; j < n; ++j) {
+      double dd[3];
+      sub3(pos + 3 * i, pos + 3 * j, dd);
+      double r2 = dot3(dd, dd);
+      d2v[i * n + j] = d2v[j * n + i] = r2;
+      d[i * n + j] = d[j * n + i] = std::sqrt(r2);
+    }
+
+  // Born radii + the d(term)/d(distance) table for the chain rule.
+  std::vector<double> born(n), dRb_dI(n), dterm(n * n, 0.0);
+  for (int i = 0; i < n; ++i) {
+    double I = 0.0;
+    for (int j = 0; j < n; ++j) {
+      if (j == i) continue;
+      double dij = d[i * n + j];
+      if (g.rho[i] >= dij + g.sr[j]) continue;  // inactive pair
+      double dt;
+      I += hct_term(dij, g.rho[i], g.sr[j], &dt);
+      dterm[i * n + j] = dt;
+    }
+    double psi = 0.5 * I * g.rho[i];
+    double Phi = g.alpha * psi - g.beta * psi * psi + g.gamma * psi * psi * psi;
+    double th = std::tanh(Phi);
+    double born_inv = 1.0 / g.rho[i] - th / g.radius[i];
+    born[i] = 1.0 / born_inv;
+    // dRb/dI = Rb^2 sech^2(Phi)/radius * dPhi/dpsi * 0.5 rho.
+    double dPhi = g.alpha - 2.0 * g.beta * psi + 3.0 * g.gamma * psi * psi;
+    dRb_dI[i] = born[i] * born[i] * (1.0 - th * th) / g.radius[i] * dPhi * 0.5 *
+                g.rho[i];
+  }
+
+  // Still-equation polar term over ALL ordered pairs incl. diagonal (aldp_ff.py
+  // gb_energy_kcal): E = pre sum_ij q_i q_j / f_ij, f_ii = Rb_i.
+  std::vector<double> dE_dRb(n, 0.0);
+  double e = 0.0;
+  for (int i = 0; i < n; ++i) {
+    double e_self = g.pre * g.q[i] * g.q[i] / born[i];
+    e += e_self;
+    dE_dRb[i] += -e_self / born[i];
+  }
+  for (int i = 0; i < n; ++i)
+    for (int j = i + 1; j < n; ++j) {
+      double B = born[i] * born[j];
+      double x = d2v[i * n + j];
+      double expo = std::exp(-x / (4.0 * B));
+      double f2 = x + B * expo;
+      double fg = std::sqrt(f2);
+      double e_pair = 2.0 * g.pre * g.q[i] * g.q[j] / fg;  // (i,j) + (j,i)
+      e += e_pair;
+      double dE_df = -e_pair / fg;
+      double df_dd2 = (1.0 - 0.25 * expo) / (2.0 * fg);
+      double df_dB = expo * (1.0 + x / (4.0 * B)) / (2.0 * fg);
+      dE_dRb[i] += dE_df * df_dB * born[j];
+      dE_dRb[j] += dE_df * df_dB * born[i];
+      if (f) {
+        double dE_dd2 = dE_df * df_dd2;
+        for (int c = 0; c < 3; ++c) {
+          double g_c = dE_dd2 * 2.0 * (pos[3 * i + c] - pos[3 * j + c]);
+          f[3 * i + c] -= g_c;
+          f[3 * j + c] += g_c;
+        }
+      }
+    }
+
+  // ACE nonpolar surface-area term.
+  for (int i = 0; i < n; ++i) {
+    double rp = g.radius[i] + g.probe;
+    double ratio = g.radius[i] / born[i];
+    double r6 = ratio * ratio * ratio;
+    r6 *= r6;
+    double e_sa = g.sa_factor * rp * rp * r6;
+    e += e_sa;
+    dE_dRb[i] += -6.0 * e_sa / born[i];
+  }
+
+  // Chain the Born-radius dependence back to positions:
+  // dE/dr_k via I_i = sum_j term(d_ij; rho_i, sr_j).
+  if (f) {
+    for (int i = 0; i < n; ++i) {
+      double w_i = dE_dRb[i] * dRb_dI[i];
+      if (w_i == 0.0) continue;
+      for (int j = 0; j < n; ++j) {
+        if (j == i || dterm[i * n + j] == 0.0) continue;
+        double dij = d[i * n + j];
+        double coef = w_i * dterm[i * n + j] / dij;
+        for (int c = 0; c < 3; ++c) {
+          double g_c = coef * (pos[3 * i + c] - pos[3 * j + c]);
+          f[3 * i + c] -= g_c;
+          f[3 * j + c] += g_c;
+        }
       }
     }
   }
@@ -208,6 +362,36 @@ void aldp_ff_init(int n_atoms, int n_bonds, const int* bond_idx,
   t.pair_rmin.assign(pair_rmin, pair_rmin + n_pairs);
   t.n_threads = n_threads > 0 ? n_threads : 1;
   g_tables = std::move(t);
+}
+
+// Enable the GBSA-OBC2 implicit-solvent term (parameters from
+// fab_tpu/targets/aldp_ff.py; enabled=0 turns it back off).
+void aldp_gb_init(int n_atoms, const double* charges, const double* radius,
+                  const double* scale, double dielectric_offset,
+                  double coulomb_const, double solute_dielectric,
+                  double solvent_dielectric, double probe_radius,
+                  double sa_factor, double alpha, double beta, double gamma,
+                  int enabled) {
+  GbTables g;
+  g.enabled = enabled != 0;
+  g.n = n_atoms;
+  g.q.assign(charges, charges + n_atoms);
+  g.radius.assign(radius, radius + n_atoms);
+  g.rho.resize(n_atoms);
+  g.sr.resize(n_atoms);
+  for (int i = 0; i < n_atoms; ++i) {
+    g.rho[i] = radius[i] - dielectric_offset;
+    g.sr[i] = scale[i] * g.rho[i];
+  }
+  g.coulomb = coulomb_const;
+  g.pre = -0.5 * coulomb_const *
+          (1.0 / solute_dielectric - 1.0 / solvent_dielectric);
+  g.probe = probe_radius;
+  g.sa_factor = sa_factor;
+  g.alpha = alpha;
+  g.beta = beta;
+  g.gamma = gamma;
+  g_gb = std::move(g);
 }
 
 // pos: [batch, n_atoms*3]; energy_out: [batch]; force_out: [batch, n_atoms*3] or

@@ -150,7 +150,9 @@ class AldpBoltzmann(TargetDistribution):
         if backend == "host_cpp":
             from fab_tpu.native import AldpEnergyServer
 
-            self._server = AldpEnergyServer(self.tables, n_threads=n_threads)
+            self._server = AldpEnergyServer(
+                self.tables, n_threads=n_threads, gb=(env == "implicit")
+            )
 
     # ------------------------------------------------------------------ energy
 
@@ -191,11 +193,10 @@ class AldpBoltzmann(TargetDistribution):
         u for u < cut; cut + log(u - cut + 1) above; clamped at max; NaN -> max."""
         pos = x_cartesian.reshape(x_cartesian.shape[:-1] + (N_ATOMS, 3))
         if self.backend == "host_cpp":
+            # The C++ server evaluates the FULL potential (vacuum terms + the
+            # GBSA-OBC2 solvation term when env='implicit'; native analytic
+            # forces drive the VJP).
             e_kcal = self._server.energy_jax(pos)
-            if self.env == "implicit":
-                # GB rides the on-device JAX path on top of the C++ vacuum terms
-                # (both are differentiable; the VJPs compose).
-                e_kcal = e_kcal + gb_energy_kcal(self.tables, pos)
         else:
             e_kcal = self._potential_kcal(pos)
         u = e_kcal / self.kT

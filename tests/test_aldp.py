@@ -89,6 +89,42 @@ def test_forcefield_cpp_matches_jax(key):
     )
 
 
+def test_forcefield_cpp_gb_matches_jax(key):
+    """C++ GBSA-OBC2 term (native/aldp_energy.cpp gb_energy_one) == JAX
+    gb_energy_kcal, energies AND analytic forces vs autodiff, in f64."""
+    from fab_tpu.targets.aldp_ff import gb_energy_kcal
+
+    tables = build_tables()
+    native = pytest.importorskip("fab_tpu.native")
+    server = native.AldpEnergyServer(tables, n_threads=2, gb=True)
+    # Compact-ish configurations (GB is short-ranged through the descreening
+    # integral, so overlapping-sphere branches must be exercised).
+    x64 = np.asarray(
+        jax.random.normal(key, (8, 22, 3)) * 1.5
+        + np.arange(22)[None, :, None] * 0.4,
+        np.float64,
+    )
+    e_cpp, f_cpp = server.energy_and_force(x64)
+
+    def full_jax(p):
+        return energy_kcal(tables, p) + gb_energy_kcal(tables, p)
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        x = jnp.asarray(x64)
+        e_jax = jax.vmap(full_jax)(x)
+        g_jax = jax.vmap(jax.grad(full_jax))(x)
+        e_vac = jax.vmap(lambda p: energy_kcal(tables, p))(x)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    np.testing.assert_allclose(e_cpp, np.asarray(e_jax, np.float64), rtol=1e-9)
+    np.testing.assert_allclose(
+        -f_cpp, np.asarray(g_jax, np.float64), rtol=1e-6, atol=1e-8
+    )
+    # GB actually contributes (differs from the vacuum-only energy).
+    assert np.all(np.abs(np.asarray(e_vac - e_jax)) > 1e-3)
+
+
 def test_target_log_prob_and_grad(target, key):
     z_min, _ = target.transform.cartesian_to_flow(jnp.asarray(target.ref_cartesian))
     z = z_min + 0.1 * jax.random.normal(key, (32, 60))
