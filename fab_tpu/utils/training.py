@@ -6,6 +6,7 @@ image; CLI overrides are handled by the experiment entry points).
 """
 from __future__ import annotations
 
+import glob
 import os
 from typing import Any, Dict, Iterator, Optional
 
@@ -71,13 +72,30 @@ def apply_overrides(cfg: ConfigDict, overrides) -> ConfigDict:
 
 
 def get_latest_checkpoint_dir(base_dir: str) -> Optional[str]:
-    """Latest timestamped run dir (setup_run.py:130-148 / training.py:19-33)."""
+    """Latest timestamped run dir that HAS checkpoints (setup_run.py:130-148).
+
+    Run dirs without a model_checkpoints/iter_* entry are skipped: when a new
+    run resumes from its own save tree, its just-created (empty) run dir must
+    not shadow the previous run's checkpoints. Ordered by mtime (stamp formats
+    changed across rounds, so lexical order is not chronological)."""
     if not os.path.isdir(base_dir):
         return None
     subdirs = sorted(
-        d for d in os.listdir(base_dir) if os.path.isdir(os.path.join(base_dir, d))
+        (
+            os.path.join(base_dir, d)
+            for d in os.listdir(base_dir)
+            if os.path.isdir(os.path.join(base_dir, d))
+        ),
+        key=os.path.getmtime,
     )
-    return os.path.join(base_dir, subdirs[-1]) if subdirs else None
+    with_ckpt = [
+        d
+        for d in subdirs
+        if glob.glob(os.path.join(d, "model_checkpoints", "iter_*"))
+    ]
+    if with_ckpt:
+        return with_ckpt[-1]
+    return subdirs[-1] if subdirs else None
 
 
 class DatasetIterator:
