@@ -23,7 +23,7 @@ run() {  # variant extra-overrides...
     fab.loss_type=fab_alpha_div training.use_buffer=true \
     training.prioritised_buffer=true training.seed=0 \
     training.n_flow_forward_pass=null training.n_iterations=$ITERS \
-    evaluation.save_path="$dir/" evaluation.eval_batch_size=500 \
+    evaluation.save_path="$dir/" evaluation.eval_batch_size=512 \
     evaluation.n_plots=0 evaluation.n_eval=1 evaluation.n_checkpoints=1 \
     "$@" > "/tmp/gmm_abl_${variant}.log" 2>&1
   echo "[ess-abl] $variant done rc=$? $(date +%H:%M:%S)"

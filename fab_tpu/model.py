@@ -188,7 +188,12 @@ class FABModel:
         Python-level chunking of a jitted single-chunk program keeps device memory
         bounded; results are gathered to host numpy.
         """
-        assert outer_batch_size % inner_batch_size == 0
+        if outer_batch_size % inner_batch_size != 0:
+            raise ValueError(
+                f"eval outer_batch_size ({outer_batch_size}) must be a multiple of "
+                f"inner_batch_size ({inner_batch_size}); pick e.g. "
+                f"{-(-outer_batch_size // inner_batch_size) * inner_batch_size}"
+            )
         n_batches = outer_batch_size // inner_batch_size
 
         # Single-chunk program also computing flow-sample IS weights at chain init
