@@ -37,6 +37,8 @@ for v in "${@:-control w_clip10 lr5e-5 act_norm scale_cap5}"; do
     lr5e-5)     run lr5e-5 training.lr=5e-5 ;;
     act_norm)   run act_norm flow.act_norm=true ;;
     scale_cap5) run scale_cap5 flow.scale_cap=5.0 ;;
+    buf_4x)     run buf_4x training.maximum_buffer_length=51200 training.min_buffer_length=5120 ;;
+    step1)      run step1 fab.transition_operator.init_step_size=1.0 ;;
     *) echo "unknown variant $v" ;;
   esac
 done
