@@ -54,8 +54,15 @@ class ResampledGaussianBase:
         return jax.nn.sigmoid(mlp_apply(params["accept_net"], z)[..., 0])
 
     def _z_estimate(self, params) -> Array:
-        return jnp.mean(
-            self._accept_prob(params, jax.lax.stop_gradient(params["z_points"]))
+        # The reference keeps Z as a DETACHED running buffer (larsflow
+        # ResampledGaussian: Z is a register_buffer updated by EMA, so backprop
+        # through log_prob treats it as a constant). Detach here too: without the
+        # stop_gradient, the -a(z)(1-tail)/Z^2 gradient term blows up as the
+        # acceptance net drives Z small (observed: reverse-KL rsb training on
+        # GMM-40 reached grad norms ~1e113 and died at ~1k iters; with the
+        # detach it trains).
+        return jax.lax.stop_gradient(
+            jnp.mean(self._accept_prob(params, params["z_points"]))
         )
 
     def _log_phi(self, z: Array) -> Array:
