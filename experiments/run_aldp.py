@@ -38,7 +38,9 @@ def generate_test_set(target, key, n_samples=10_000, n_steps=400, n_chains=None)
     if n_chains is None:
         # Enough chains that post-burn-in thinning covers n_samples without tiling.
         n_collect_chunks = max((n_steps // 20) - (n_steps // 20) // 2, 1)
-        n_chains = max(512, -(-n_samples // n_collect_chunks))
+        # 2x headroom: D-form rows are dropped by the chirality filter below
+        # (long chains can spend ~half their mass in the mirror basin).
+        n_chains = max(512, 2 * -(-n_samples // n_collect_chunks))
     op = HamiltonianMonteCarlo(
         n_ais_intermediate_distributions=1, n_outer=1, n_leapfrog=10, epsilon=0.05
     )
@@ -86,7 +88,23 @@ def generate_test_set(target, key, n_samples=10_000, n_steps=400, n_chains=None)
         point, state = sweep_chunk(point, state, sub)
         if c >= burn_in_chunks:
             samples.append(np.asarray(point.x))
-    data = np.concatenate(samples)[:n_samples]
+    data = np.concatenate(samples)
+    # Keep only the canonical (L-form) chirality basin: the reference's
+    # validation data is an MD trajectory of L-alanine dipeptide, while long
+    # HMC chains here can hop into the mirror (D-form) basin (observed ~56%
+    # D-form), and a racemic test set saturates kld_phi/kld_ram for every
+    # single-chirality flow. Matches the spirit of the reference's
+    # filter_chirality (aldp/train.py:228-243) applied to evaluation data.
+    from fab_tpu.utils.aldp_eval import filter_chirality
+
+    keep = np.asarray(filter_chirality(jnp.asarray(data)))
+    if keep.mean() < 0.999:
+        print(
+            f"test set: dropping {int((~keep).sum())}/{len(keep)} D-form rows "
+            f"(frac_L={keep.mean():.3f})"
+        )
+        data = data[keep]
+    data = data[:n_samples]
     if data.shape[0] < n_samples:
         reps = -(-n_samples // data.shape[0])
         data = np.tile(data, (reps, 1))[:n_samples]
