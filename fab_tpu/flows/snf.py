@@ -72,16 +72,23 @@ class MetropolisSamplingLayer:
         return x, log_pi_end - log_pi_start
 
     def forward_and_log_det(self, params, key: jax.Array, z: Array):
-        """Sampling direction: the SNF 'log-det' is log pi(z') - log pi(z)."""
+        """Sampling direction: the SNF 'log-det' is log pi(z') - log pi(z).
+
+        NO stop_gradient here: like the reference's torch MCMC flow layers,
+        pathwise gradients flow through the where()-selected positions (the
+        discrete accept decision itself is non-differentiable in both). Cutting
+        them (as an earlier revision did) severs the log p(z_final) pullback on
+        upstream couplings, whose only remaining incentive is to maximise their
+        log-det — observed as unbounded expansion (|z| 17 -> 2e3 within ~13
+        reverse-KL steps on GMM-40) and permanent divergence.
+        """
         del params
-        z, delta = self._mcmc(key, z)
-        return jax.lax.stop_gradient(z), jax.lax.stop_gradient(delta)
+        return self._mcmc(key, z)
 
     def inverse_and_log_det(self, params, key: jax.Array, x: Array):
         """Density direction: the kernel is its own reversal (detailed balance)."""
         del params
-        x, delta = self._mcmc(key, x)
-        return jax.lax.stop_gradient(x), jax.lax.stop_gradient(delta)
+        return self._mcmc(key, x)
 
     def param_sharding(self, dim: int, model_axis: str):
         return {}
