@@ -114,8 +114,15 @@ class LogGaussianCoxProcess(TargetDistribution):
             2 * jnp.pi
         )
         x = self.latent_to_field(e)
+        # f32 overflow guard: exp(x) overflows past x ~ 88.7, which turns ONE
+        # transiently-overshooting flow sample into log_prob = -inf and (via the
+        # validity mask) can empty the whole batch. Clamping the exponent at 80
+        # keeps the penalty finite (~ -cell_area * 5.5e34, still an enormous
+        # repulsion) with a nonzero gradient direction; the linear x*counts term
+        # stays exact. No effect in the posterior-typical region (x ~ mu +- a few).
         log_lik = jnp.sum(
-            x * self.counts - self.cell_area * jnp.exp(x), axis=-1
+            x * self.counts - self.cell_area * jnp.exp(jnp.minimum(x, 80.0)),
+            axis=-1,
         )
         return log_prior + log_lik
 
