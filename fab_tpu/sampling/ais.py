@@ -128,12 +128,17 @@ class AnnealedImportanceSampler:
         )
 
         # Chain-end validity (ais.py:77): extreme points can go non-finite under the
-        # target or flow during the chain.
+        # target or flow during the chain. Finite-but-astronomical rows are equally
+        # numerically broken (a target/flow overflow guard can return e.g. -1e34,
+        # making log_w ~ +1e68 via -log_q and turning the loss logsumexp inf even
+        # though every row is "finite" — observed on LGCP-1600); |log_w| beyond
+        # 1e10 nats cannot arise from a healthy chain, so treat it as invalid.
         mask = (
             mask
             & jnp.isfinite(point.log_q)
             & jnp.isfinite(point.log_p)
             & jnp.isfinite(log_w)
+            & (jnp.abs(log_w) < 1e10)
         )
         log_w = jnp.where(mask, log_w, -jnp.inf)
 
