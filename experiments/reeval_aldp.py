@@ -58,6 +58,12 @@ def main(argv=None):
         f"test set: {len(z_test)} rows, frac_L_form={keep.mean():.4f} -> "
         f"keeping {int(keep.sum())} L-form rows"
     )
+    if keep.mean() <= 0.1:  # guard like the reference (aldp/train.py:230)
+        raise RuntimeError(
+            f"only {keep.mean():.1%} of the stored test set is L-form; an "
+            "L-only re-evaluation on this set would be degenerate. Regenerate "
+            "the test set (experiments/run_aldp.py)."
+        )
     z_test_l = z_test[keep]
 
     key = jax.random.key(0)

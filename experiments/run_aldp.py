@@ -98,6 +98,16 @@ def generate_test_set(target, key, n_samples=10_000, n_steps=400, n_chains=None)
     from fab_tpu.utils.aldp_eval import filter_chirality
 
     keep = np.asarray(filter_chirality(jnp.asarray(data)))
+    # Guard like the reference's train-time filter (aldp/train.py:230: only
+    # filter when mean(ind_L) > 0.1): if the chains settled entirely in the
+    # D-form basin, filtering would leave 0 rows and the tile fallback below
+    # would divide by zero.
+    if keep.mean() <= 0.1:
+        raise RuntimeError(
+            f"test-set generation: only {keep.mean():.1%} of HMC samples are "
+            "L-form; refusing to build an (almost) empty L-only test set. "
+            "Regenerate with a different seed or more chains."
+        )
     if keep.mean() < 0.999:
         print(
             f"test set: dropping {int((~keep).sum())}/{len(keep)} D-form rows "

@@ -105,6 +105,7 @@ def setup_model(cfg: ConfigDict, target) -> FABModel:
             n_flow_layers=cfg.flow.n_layers,
             layer_nodes_per_dim=cfg.flow.layer_nodes_per_dim,
             act_norm=cfg.flow.act_norm,
+            init_mode=cfg.flow.get("init_mode", "he_normal"),
         )
     elif cfg.flow.get("use_snf"):
         from fab_tpu.flows.snf import make_snf_model
@@ -119,6 +120,7 @@ def setup_model(cfg: ConfigDict, target) -> FABModel:
             it_snf_layer=snf_cfg.get("it_snf_layer", 2),
             mh_prop_scale=snf_cfg.get("step_size", 0.1),
             mh_steps=snf_cfg.get("num_steps", 10),
+            init_mode=cfg.flow.get("init_mode", "he_normal"),
         )
     else:
         flow = make_realnvp(
@@ -128,6 +130,7 @@ def setup_model(cfg: ConfigDict, target) -> FABModel:
             act_norm=cfg.flow.act_norm,
             scale_cap=cfg.flow.get("scale_cap", 0.0),
             fused_coupling=bool(cfg.flow.get("fused_coupling", False)),
+            init_mode=cfg.flow.get("init_mode", "he_normal"),
         )
     to_cfg = cfg.fab.transition_operator
     if to_cfg.type == "hmc":

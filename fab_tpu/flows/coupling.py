@@ -37,6 +37,7 @@ class AffineCoupling(Bijector):
     n_hidden_layers: int = 2
     swap: bool = False
     scale_cap: float = 0.0  # 0 = uncapped (reference behaviour: plain exp)
+    init_mode: str = "he_normal"  # "torch" = torch.nn.Linear defaults (see mlp_init)
 
     def _sizes(self, dim: int):
         d = (dim + 1) // 2  # ceil(dim/2), matching make_normflow_model.py:21
@@ -48,7 +49,12 @@ class AffineCoupling(Bijector):
         sizes = (
             [d_cond] + [self.hidden_units] * self.n_hidden_layers + [2 * d_trans]
         )
-        return {"mlp": mlp_init(key, sizes, zero_init_last=True, dtype=dtype)}
+        return {
+            "mlp": mlp_init(
+                key, sizes, zero_init_last=True, dtype=dtype,
+                init_mode=self.init_mode,
+            )
+        }
 
     def _split(self, x: Array, dim: int) -> Tuple[Array, Array]:
         d = (dim + 1) // 2

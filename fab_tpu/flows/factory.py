@@ -25,6 +25,7 @@ def make_realnvp(
     scale_cap: float = 0.0,
     fused: bool = False,
     fused_coupling: bool = False,
+    init_mode: str = "he_normal",
 ) -> Flow:
     """RealNVP stack: coupling + LU-linear (+ ActNorm) per layer.
 
@@ -41,10 +42,16 @@ def make_realnvp(
             from fab_tpu.flows.large_coupling import LargeFusedCoupling
 
             bijectors += (
-                LargeFusedCoupling(hidden_units=width, scale_cap=scale_cap),
+                LargeFusedCoupling(
+                    hidden_units=width, scale_cap=scale_cap, init_mode=init_mode
+                ),
             )
         else:
-            bijectors += (AffineCoupling(hidden_units=width, scale_cap=scale_cap),)
+            bijectors += (
+                AffineCoupling(
+                    hidden_units=width, scale_cap=scale_cap, init_mode=init_mode
+                ),
+            )
         bijectors += (LULinear(),)
         if act_norm:
             bijectors += (ActNorm(),)
@@ -66,6 +73,7 @@ def make_resampled_realnvp(
     a_hidden_units: int = 256,
     a_hidden_layers: int = 2,
     T: int = 100,
+    init_mode: str = "he_normal",
 ) -> Flow:
     """RealNVP over a LARS resampled-Gaussian base
     (make_normflow_model.py:131-158)."""
@@ -76,6 +84,7 @@ def make_resampled_realnvp(
         n_flow_layers=n_flow_layers,
         layer_nodes_per_dim=layer_nodes_per_dim,
         act_norm=act_norm,
+        init_mode=init_mode,
     )
     base = ResampledGaussianBase(
         dim=dim, hidden_units=a_hidden_units, n_hidden_layers=a_hidden_layers, T=T

@@ -34,7 +34,12 @@ class LargeFusedCoupling(AffineCoupling):
         d_cond, d_trans = self._sizes(dim)
         out_pad = _round128(2 * d_trans)
         sizes = [d_cond] + [self.hidden_units] * self.n_hidden_layers + [out_pad]
-        return {"mlp": mlp_init(key, sizes, zero_init_last=True, dtype=dtype)}
+        return {
+            "mlp": mlp_init(
+                key, sizes, zero_init_last=True, dtype=dtype,
+                init_mode=self.init_mode,
+            )
+        }
 
     def _shift_and_log_scale(self, params, x_cond: Array, dim: int):
         # jnp path over the padded last layer; only the first 2*d_trans columns

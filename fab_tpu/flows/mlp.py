@@ -20,17 +20,40 @@ def mlp_init(
     sizes: Sequence[int],
     zero_init_last: bool = True,
     dtype=jnp.float32,
+    init_mode: str = "he_normal",
 ):
-    """He-initialised MLP params; last layer zeros if ``zero_init_last``."""
+    """MLP params; last layer zeros if ``zero_init_last``.
+
+    ``init_mode``:
+      - ``"he_normal"`` (historic default): W ~ N(0, 2/fan_in), b = 0.
+      - ``"torch"``: torch.nn.Linear defaults — the init the reference's
+        conditioners get via ``nf.nets.MLP`` (make_normflow_model.py:22):
+        kaiming_uniform(a=sqrt(5)) weights, which reduces to
+        W ~ U(-1/sqrt(fan_in), +1/sqrt(fan_in)), and
+        b ~ U(-1/sqrt(fan_in), +1/sqrt(fan_in)). Weight std is
+        1/sqrt(3*fan_in) — ~sqrt(6) ≈ 2.45x SMALLER than he_normal's.
+    """
+    if init_mode not in ("he_normal", "torch"):
+        raise ValueError(f"unknown init_mode {init_mode!r}")
     params = []
     keys = jax.random.split(key, len(sizes) - 1)
     for i, (d_in, d_out) in enumerate(zip(sizes[:-1], sizes[1:])):
         last = i == len(sizes) - 2
         if last and zero_init_last:
             w = jnp.zeros((d_in, d_out), dtype)
+            b = jnp.zeros((d_out,), dtype)
+        elif init_mode == "torch":
+            kw, kb = jax.random.split(keys[i])
+            bound = 1.0 / jnp.sqrt(jnp.asarray(d_in, jnp.float32))
+            w = jax.random.uniform(
+                kw, (d_in, d_out), dtype, minval=-bound, maxval=bound
+            )
+            b = jax.random.uniform(
+                kb, (d_out,), dtype, minval=-bound, maxval=bound
+            )
         else:
             w = jax.random.normal(keys[i], (d_in, d_out), dtype) * jnp.sqrt(2.0 / d_in)
-        b = jnp.zeros((d_out,), dtype)
+            b = jnp.zeros((d_out,), dtype)
         params.append({"w": w, "b": b})
     return params
 

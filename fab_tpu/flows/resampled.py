@@ -54,13 +54,17 @@ class ResampledGaussianBase:
         return jax.nn.sigmoid(mlp_apply(params["accept_net"], z)[..., 0])
 
     def _z_estimate(self, params) -> Array:
-        # The reference keeps Z as a DETACHED running buffer (larsflow
-        # ResampledGaussian: Z is a register_buffer updated by EMA, so backprop
-        # through log_prob treats it as a constant). Detach here too: without the
-        # stop_gradient, the -a(z)(1-tail)/Z^2 gradient term blows up as the
-        # acceptance net drives Z small (observed: reverse-KL rsb training on
-        # GMM-40 reached grad norms ~1e113 and died at ~1k iters; with the
-        # detach it trains).
+        # DOCUMENTED DEVIATION (see PARITY.md): Z is fully detached here. We
+        # believe larsflow's ResampledGaussian keeps Z as a buffer updated by
+        # EMA (so backprop treats it as a constant), but larsflow's source is
+        # not in the reference tree (the reference only imports
+        # lf.distributions.ResampledGaussian), so this is an unverified parity
+        # claim; detaching drops the -grad(Z)/Z term from grad(log p), leaving
+        # the acceptance net's normalisation pressure value-only. The
+        # stabilisation evidence is ours and real: without the stop_gradient,
+        # the -a(z)(1-tail)/Z^2 gradient term blows up as the acceptance net
+        # drives Z small (reverse-KL rsb on GMM-40 reached grad norms ~1e113
+        # and died at ~1k iters; with the detach it trains).
         return jax.lax.stop_gradient(
             jnp.mean(self._accept_prob(params, params["z_points"]))
         )

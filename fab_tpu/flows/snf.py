@@ -5,9 +5,10 @@ make_normflow_model.py:33-79,99-128): RealNVP blocks interleaved with
 Metropolis-Hastings sampling layers targeting the linear interpolation
 log pi_lambda = lambda * log p_target + (1 - lambda) * log N(0, I), lambda ramping
 with depth. Per Wu/Koehler/Noe (arXiv:2002.06707), a detailed-balance kernel at
-stationary pi contributes log pi(z_new) - log pi(z_old) to the flow's log-det
-accumulator, making log q a stochastic estimate whose importance weights stay
-unbiased.
+stationary pi makes the effective log q gain +(log pi(end) - log pi(start)) of
+each kernel run (normflows' MetropolisHastings accumulates the same as
+log_det = log_pi_old - log_pi_new), keeping the importance weights unbiased:
+one lam=1 layer telescopes log_w to the AIS identity log p(z0) - log q0(z0).
 
 Deviations (documented): the interpolation base is a fixed standard normal (the
 reference interpolates against its trainable DiagGaussian base); log_prob without an
@@ -69,10 +70,18 @@ class MetropolisSamplingLayer:
         (x, log_pi_end), _ = jax.lax.scan(
             step, (x, log_pi_start), jax.random.split(key, self.n_steps)
         )
-        return x, log_pi_end - log_pi_start
+        # SNF log-det convention (Wu/Koehler/Noe; normflows MetropolisHastings
+        # accumulates log_det = log_pi_old - log_pi_new): return
+        # log pi(start) - log pi(end). sample_and_log_prob consumes it as
+        # log_q -= ld, so the effective log q GAINS +(log pi_end - log pi_start),
+        # which makes a single lam=1 layer telescope the importance weight to
+        # log p(z0) - log q0(z0) (AIS identity) — see tests/test_flows.py.
+        # (Round-3 had the sign inverted, biasing log_q by 2x the ratio and
+        # mis-directing reverse-KL training — the documented SNF divergence.)
+        return x, log_pi_start - log_pi_end
 
     def forward_and_log_det(self, params, key: jax.Array, z: Array):
-        """Sampling direction: the SNF 'log-det' is log pi(z') - log pi(z).
+        """Sampling direction: returns log pi(z) - log pi(z') (see _mcmc).
 
         NO stop_gradient here: like the reference's torch MCMC flow layers,
         pathwise gradients flow through the where()-selected positions (the
@@ -184,6 +193,7 @@ def make_snf_model(
     it_snf_layer: int = 2,
     mh_prop_scale: float = 0.1,
     mh_steps: int = 10,
+    init_mode: str = "he_normal",
 ) -> StochasticFlow:
     """SNF stack mirroring make_normflow_snf (make_normflow_model.py:33-79):
     every ``it_snf_layer`` RealNVP blocks, insert an MH sampling layer at
@@ -194,7 +204,7 @@ def make_snf_model(
     width = dim * layer_nodes_per_dim
     layers: Tuple[Any, ...] = ()
     for i in range(n_flow_layers):
-        layers += (AffineCoupling(hidden_units=width),)
+        layers += (AffineCoupling(hidden_units=width, init_mode=init_mode),)
         layers += (LULinear(),)
         if act_norm:
             layers += (ActNorm(),)

@@ -151,6 +151,7 @@ class SplineCoupling(Bijector):
     # conditioner is continuous across the +-pi seam (analogue of normflows'
     # PeriodicFeatures used in the reference ALDP flow, make_aldp_model.py:76).
     circular_cond_mask: Tuple[bool, ...] = ()
+    init_mode: str = "he_normal"  # "torch" = torch.nn.Linear defaults (see mlp_init)
 
     def _sizes(self, dim: int):
         d = (dim + 1) // 2
@@ -184,7 +185,12 @@ class SplineCoupling(Bijector):
             + [self.hidden_units] * self.n_hidden_layers
             + [d_trans * self._params_per_dim()]
         )
-        return {"mlp": mlp_init(key, sizes, zero_init_last=True, dtype=dtype)}
+        return {
+            "mlp": mlp_init(
+                key, sizes, zero_init_last=True, dtype=dtype,
+                init_mode=self.init_mode,
+            )
+        }
 
     def _split(self, x: Array, dim: int):
         d = (dim + 1) // 2

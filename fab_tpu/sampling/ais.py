@@ -133,13 +133,16 @@ class AnnealedImportanceSampler:
         # making log_w ~ +1e68 via -log_q and turning the loss logsumexp inf even
         # though every row is "finite" — observed on LGCP-1600); |log_w| beyond
         # 1e10 nats cannot arise from a healthy chain, so treat it as invalid.
-        mask = (
+        finite_ok = (
             mask
             & jnp.isfinite(point.log_q)
             & jnp.isfinite(point.log_p)
             & jnp.isfinite(log_w)
-            & (jnp.abs(log_w) < 1e10)
         )
+        # Surfaced separately in info as n_logw_bound_masked so a target that
+        # trips the bound is visible in training logs, not silently masked.
+        bound_ok = jnp.abs(log_w) < 1e10
+        mask = finite_ok & bound_ok
         log_w = jnp.where(mask, log_w, -jnp.inf)
 
         info = {
@@ -147,6 +150,7 @@ class AnnealedImportanceSampler:
             "ess_ais": effective_sample_size(log_w, mask),
             "log_Z": log_z_estimate(log_w, mask),
             "n_valid": jnp.sum(mask),
+            "n_logw_bound_masked": jnp.sum(finite_ok & ~bound_ok),
             # Stacked per-intermediate-distribution transition info:
             # p_accept [n_dists, n_steps], avg_distance [n_dists].
             "transition": t_infos,

@@ -116,14 +116,19 @@ class LogGaussianCoxProcess(TargetDistribution):
         x = self.latent_to_field(e)
         # f32 overflow guard: exp(x) overflows past x ~ 88.7, which turns ONE
         # transiently-overshooting flow sample into log_prob = -inf and (via the
-        # validity mask) can empty the whole batch. Clamping the exponent at 80
-        # keeps the penalty finite (~ -cell_area * 5.5e34, still an enormous
-        # repulsion) with a nonzero gradient direction; the linear x*counts term
-        # stays exact. No effect in the posterior-typical region (x ~ mu +- a few).
-        log_lik = jnp.sum(
-            x * self.counts - self.cell_area * jnp.exp(jnp.minimum(x, 80.0)),
-            axis=-1,
+        # validity mask) can empty the whole batch. Past x = 80 we continue the
+        # exp term LINEARLY: exp(80) * (1 + (x - 80)). A hard clamp would zero
+        # d(exp-term)/dx there, leaving only the attractive +counts gradient
+        # (pushing overshoots FURTHER out and degrading HMC leapfrogs); the
+        # linear continuation keeps a huge restoring gradient (-cell_area *
+        # exp(80) per unit x) while staying finite in f32 up to |x| ~ 1e3.
+        # No effect in the posterior-typical region (x ~ mu +- a few).
+        exp_term = jnp.where(
+            x > 80.0,
+            jnp.exp(80.0) * (1.0 + (x - 80.0)),
+            jnp.exp(jnp.minimum(x, 80.0)),
         )
+        log_lik = jnp.sum(x * self.counts - self.cell_area * exp_term, axis=-1)
         return log_prior + log_lik
 
     def sample_prior(self, key: jax.Array, n: int) -> Array:

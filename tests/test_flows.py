@@ -160,3 +160,31 @@ def test_flow_stays_normalised_under_training(key):
     log_ref = -0.5 * jnp.sum((z / 6.0) ** 2, -1) - jnp.log(2 * jnp.pi * 36.0)
     integral = jnp.mean(jnp.exp(flow.log_prob(params, z) - log_ref))
     np.testing.assert_allclose(float(integral), 1.0, atol=0.1)
+
+
+def test_torch_init_mode_matches_linear_defaults(key):
+    """init_mode='torch' reproduces torch.nn.Linear defaults: W and b both
+    U(+-1/sqrt(fan_in)) (kaiming_uniform a=sqrt(5)); std is sqrt(6)x smaller
+    than he_normal. Matches the reference conditioners built on torch defaults
+    via nf.nets.MLP (make_normflow_model.py:22)."""
+    from fab_tpu.flows.mlp import mlp_init
+
+    sizes = [64, 256, 256, 8]
+    p_torch = mlp_init(key, sizes, zero_init_last=True, init_mode="torch")
+    p_he = mlp_init(key, sizes, zero_init_last=True, init_mode="he_normal")
+    for i, (pt, ph) in enumerate(zip(p_torch, p_he)):
+        d_in = sizes[i]
+        if i == len(sizes) - 2:  # zero-init last layer in both modes
+            assert float(jnp.abs(pt["w"]).max()) == 0.0
+            continue
+        bound = 1.0 / np.sqrt(d_in)
+        assert float(jnp.abs(pt["w"]).max()) <= bound
+        assert float(jnp.abs(pt["b"]).max()) <= bound
+        # Uniform(+-bound) std = bound/sqrt(3); he_normal std = sqrt(2/d_in).
+        np.testing.assert_allclose(
+            float(jnp.std(pt["w"])), bound / np.sqrt(3.0), rtol=0.05
+        )
+        ratio = float(jnp.std(ph["w"])) / float(jnp.std(pt["w"]))
+        np.testing.assert_allclose(ratio, np.sqrt(6.0), rtol=0.1)
+    with pytest.raises(ValueError):
+        mlp_init(key, sizes, init_mode="nope")

@@ -289,3 +289,29 @@ def test_hmc_step_size_adapts_toward_target_p_accept(key):
     np.testing.assert_allclose(
         state_before["epsilons"], jax.device_get(state_after)["epsilons"]
     )
+
+
+def test_logw_validity_bound_not_tripped_by_heavy_tails(key):
+    """A legitimately heavy-tailed but healthy setting — GMM-40 (40 distant
+    modes, -1e4 log-prob cutoff) against an untrained standard-normal flow —
+    must never trip the |log_w| < 1e10 validity bound (sampling/ais.py); the
+    bound exists for numerically broken rows (LGCP overflow guards), not fat
+    tails. The bound's own maskings are surfaced as n_logw_bound_masked."""
+    from fab_tpu.targets import GMM
+
+    target = GMM(dim=2, n_mixes=40, loc_scaling=40.0)
+    flow, params = make_gaussian_flow(2, loc=0.0, scale=1.0)
+    op = Metropolis(n_ais_intermediate_distributions=1, n_updates=1)
+    ais = AnnealedImportanceSampler(
+        flow=flow, target_log_prob=target.log_prob, transition_operator=op,
+        n_intermediate_distributions=1, alpha=2.0,
+    )
+    result = jax.jit(
+        lambda s, k: ais.sample_and_log_weights(params, s, k, 2048)
+    )(op.init_state(2), key)
+    # log_w magnitudes are huge here (|log p| up to ~1e4 at the cutoff) but far
+    # below the 1e10 bound: no row may be masked by the bound itself.
+    assert int(result.info["n_logw_bound_masked"]) == 0
+    assert int(result.info["n_valid"]) == 2048
+    finite_logw = result.log_w[jnp.isfinite(result.log_w)]
+    assert float(jnp.max(jnp.abs(finite_logw))) < 1e10

@@ -55,6 +55,33 @@ def test_snf_layer_moves_toward_target(key):
     assert bool(jnp.all(jnp.isfinite(delta)))
 
 
+def test_snf_single_layer_telescopes_to_ais_identity(key):
+    """One detailed-balance MH layer at lam=1 must telescope the importance
+    weight to log p(z0) - log q0(z0) (the AIS identity): log_w is exactly
+    independent of where the kernel lands. Pins the SNF log-det sign
+    (log pi_start - log pi_end, normflows convention); the round-3 inverted
+    sign yields 2*log p(x) - log p(z0) - log q0(z0) and fails this test."""
+    target = Gaussian(loc=jnp.full((2,), 1.0), scale=jnp.full((2,), 1.5))
+    layer = MetropolisSamplingLayer(
+        target_log_prob=target.log_prob, lam=1.0, n_steps=20, proposal_scale=0.8
+    )
+    flow = StochasticFlow(dim=2, layers=(layer,))
+    params = flow.init(key)
+    n = 4096
+    x, log_q = flow.sample_and_log_prob(params, key, n)
+    log_w = target.log_prob(x) - log_q
+    # Replicate the base draw with the same key split to get z0 exactly.
+    key_base, _ = jax.random.split(key)
+    z0, log_q0 = flow.base.sample_and_log_prob(params["base"], key_base, n)
+    np.testing.assert_allclose(
+        np.asarray(log_w),
+        np.asarray(target.log_prob(z0) - log_q0),
+        rtol=1e-4, atol=1e-4,
+    )
+    # Unbiasedness: target is normalised, so E_q[w] = 1.
+    np.testing.assert_allclose(float(jnp.mean(jnp.exp(log_w))), 1.0, atol=0.1)
+
+
 def test_snf_model_sample_and_log_prob(key):
     target = Gaussian(loc=jnp.zeros(2), scale=jnp.ones(2))
     flow = make_snf_model(
