@@ -1,0 +1,204 @@
+"""Rigid phi/psi torsion scan of the in-house ALDP potential (physics check).
+
+VERDICT r3 item 3a: before spending the TPU budget on more FAB iterations,
+rule out a torsion-surface error as the cause of the flow's phi~-2.7 (C5)
+vs test-set phi~-1.2 (C7eq/PPII) mismatch.
+
+Method: starting from the committed OpenMM-minimised frame
+(tests/data/aldp_openmm_min_energy_nm.npy, the one external ground-truth
+geometry available in this image — OpenMM itself is not installable), rotate
+the phi branch about N6-CA8 and the psi branch about CA8-C14 rigidly (the
+same Rodrigues construction as tests/test_aldp.py's anchor tests, which
+preserves all internal coordinates except dihedrals spanning the rotated
+bond), evaluate the full implicit-solvent energy E(phi, psi) = vacuum + GBSA
+on a grid, and report:
+
+  1. the map's local minima (basin positions + relative energies), banded
+     against literature AMBER/GBSA alanine-dipeptide landmarks: C7eq/beta
+     (phi ~ -80 deg), C5/extended (phi ~ -150 deg), alpha_R (phi ~ -70 deg,
+     psi ~ -25 deg), alpha_L (phi ~ +60 deg) [Ramachandran maps of AMBER
+     ff94/ff99/ff99SB, e.g. Hornak et al. 2006];
+  2. the rigid-scan Boltzmann phi-marginal at 300 K vs the HMC test set's
+     empirical phi-marginal (same potential; if HMC is converged the two
+     should agree on which phi basin dominates).
+
+Output: reports/aldp_torsion_scan.csv (grid) + printed verdict block.
+Run on CPU: env FAB_TPU_TESTS_REEXECED=1 JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
+    python experiments/aldp_torsion_scan.py [--test-set <path>/test_set.npy]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_enable_x64", True)
+
+from fab_tpu.targets.aldp_ff import build_tables, energy_kcal, gb_energy_kcal
+
+KT_300K = 0.0019872041 * 300.0  # kcal/mol
+
+# Atom branches for rigid dihedral rotation (atom order: aldp_ff.py docstring).
+PHI_AXIS = (6, 8)  # N -> CA
+PHI_MOVING = [9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21]
+PSI_AXIS = (8, 14)  # CA -> C
+PSI_MOVING = [15, 16, 17, 18, 19, 20, 21]
+PHI_ATOMS = (4, 6, 8, 14)
+PSI_ATOMS = (6, 8, 14, 16)
+
+
+def rotate_about_bond(pos, i0, i1, moving, angle):
+    p = np.array(pos, np.float64)
+    a0, a1 = p[i0], p[i1]
+    k = (a1 - a0) / np.linalg.norm(a1 - a0)
+    v = p[moving] - a1
+    p[moving] = (
+        a1
+        + v * np.cos(angle)
+        + np.cross(k, v) * np.sin(angle)
+        + (v @ k)[:, None] * k[None, :] * (1 - np.cos(angle))
+    )
+    return p
+
+
+def dihedral(p, atoms):
+    """IUPAC-sign dihedral (matches fab_tpu.targets.internal_coords)."""
+    b1 = p[atoms[1]] - p[atoms[0]]
+    b2 = p[atoms[2]] - p[atoms[1]]
+    b3 = p[atoms[3]] - p[atoms[2]]
+    n1, n2 = np.cross(b1, b2), np.cross(b2, b3)
+    m1 = np.cross(n1, b2 / np.linalg.norm(b2))
+    return float(np.arctan2(-(m1 @ n2), n1 @ n2))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-grid", type=int, default=72)
+    ap.add_argument("--test-set", default=None,
+                    help="optional path to a run's test_set.npy (internal coords)"
+                    " for the empirical phi marginal")
+    ap.add_argument("--run-config", default="experiments/configs/aldp/fab_buff.yaml",
+                    help="config used to build the transform for --test-set")
+    ap.add_argument("--out", default="reports/aldp_torsion_scan.csv")
+    args = ap.parse_args(argv)
+
+    tables = build_tables()
+    pos0 = np.load("tests/data/aldp_openmm_min_energy_nm.npy").reshape(22, 3) * 10.0
+
+    phi0 = dihedral(pos0, PHI_ATOMS)
+    psi0 = dihedral(pos0, PSI_ATOMS)
+    print(f"golden frame: phi={phi0:.3f} rad ({np.rad2deg(phi0):.1f} deg), "
+          f"psi={psi0:.3f} rad ({np.rad2deg(psi0):.1f} deg)")
+
+    n = args.n_grid
+    phis = np.linspace(-np.pi, np.pi, n, endpoint=False)
+    psis = np.linspace(-np.pi, np.pi, n, endpoint=False)
+
+    # Rodrigues rotation by +delta about the axis INCREASES the IUPAC-sign
+    # dihedral by +delta (verified by the grid-consistency asserts below).
+    frames = np.empty((n, n, 22, 3))
+    for i, ph in enumerate(phis):
+        p_phi = rotate_about_bond(pos0, *PHI_AXIS, PHI_MOVING, ph - phi0)
+        for j, ps in enumerate(psis):
+            frames[i, j] = rotate_about_bond(p_phi, *PSI_AXIS, PSI_MOVING, ps - psi0)
+
+    flat = jnp.asarray(frames.reshape(n * n, 22, 3))
+    e_fn = jax.jit(lambda x: energy_kcal(tables, x) + gb_energy_kcal(tables, x))
+    es = []
+    for start in range(0, n * n, 512):
+        es.append(np.asarray(e_fn(flat[start:start + 512])))
+    E = np.concatenate(es).reshape(n, n)
+    E -= E.min()
+
+    # Sanity: the scan reproduces the requested dihedrals.
+    chk = frames[n // 3, 2 * n // 3]
+    assert abs(dihedral(chk, PHI_ATOMS) - phis[n // 3]) < 1e-6
+    assert abs(dihedral(chk, PSI_ATOMS) - psis[2 * n // 3]) < 1e-6
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("phi,psi,energy_kcal\n")
+        for i, ph in enumerate(phis):
+            for j, ps in enumerate(psis):
+                f.write(f"{ph:.5f},{ps:.5f},{E[i, j]:.5f}\n")
+    print(f"wrote {args.out} ({n}x{n} grid, E range 0..{E.max():.1f} kcal/mol)")
+
+    # Local minima of the (periodic) map.
+    def neighbours(a):
+        return [np.roll(np.roll(a, di, 0), dj, 1)
+                for di in (-1, 0, 1) for dj in (-1, 0, 1) if (di, dj) != (0, 0)]
+
+    is_min = np.all([E < nb for nb in neighbours(E)], axis=0)
+    minima = [(E[i, j], phis[i], psis[j]) for i, j in zip(*np.nonzero(is_min))]
+    minima.sort()
+    print("\nlocal minima of the rigid-scan map (rel E kcal/mol, phi, psi deg):")
+    for e, ph, ps in minima[:8]:
+        print(f"  E={e:7.2f}  phi={np.rad2deg(ph):7.1f}  psi={np.rad2deg(ps):7.1f}")
+
+    # Boltzmann phi marginal of the rigid map at 300 K.
+    w = np.exp(-(E - E.min(axis=1, keepdims=True).min()) / KT_300K)
+    p_phi = w.sum(axis=1)
+    p_phi /= p_phi.sum()
+    # Also the phi free-energy profile F(phi) = -kT log sum_psi exp(-E/kT).
+    F_phi = -KT_300K * np.log(w.sum(axis=1) + 1e-300)
+    F_phi -= F_phi.min()
+
+    def band_mass(lo_deg, hi_deg):
+        sel = (np.rad2deg(phis) >= lo_deg) & (np.rad2deg(phis) < hi_deg)
+        return float(p_phi[sel].sum())
+
+    print("\nrigid-scan Boltzmann phi-marginal mass at 300 K:")
+    bands = {
+        "C5/extended  phi in [-180,-120)": band_mass(-180, -120),
+        "C7eq/PPII    phi in [-120, -30)": band_mass(-120, -30),
+        "alpha_L      phi in [ +30,+120)": band_mass(30, 120),
+        "other": 1.0 - band_mass(-180, -120) - band_mass(-120, -30)
+        - band_mass(30, 120),
+    }
+    for k, v in bands.items():
+        print(f"  {k}: {v:.4f}")
+    i_c5 = np.argmin(np.abs(np.rad2deg(phis) - (-150)))
+    i_c7 = np.argmin(np.abs(np.rad2deg(phis) - (-80)))
+    print(f"\nF(phi=-150deg) - F(phi=-80deg) = {F_phi[i_c5] - F_phi[i_c7]:.2f} "
+          f"kcal/mol (positive => C7eq/PPII basin deeper, matching literature)")
+
+    if args.test_set:
+        from fab_tpu.targets.aldp import AldpBoltzmann
+        from fab_tpu.utils.training import load_config
+        cfg = load_config(args.run_config)
+        sys_cfg = cfg.system
+        target = AldpBoltzmann(
+            data_path=cfg.data.get("transform"),
+            temperature=sys_cfg.temperature,
+            energy_cut=float(sys_cfg.energy_cut),
+            energy_max=float(sys_cfg.energy_max),
+            transform=sys_cfg.get("transform", "internal"),
+            env=sys_cfg.get("env", "vacuum"),
+        )
+        z = np.load(args.test_set)
+        phi_t, _ = target.phi_psi(jnp.asarray(z[:20000]))
+        phi_t = np.asarray(phi_t)
+        phi_t = phi_t[np.isfinite(phi_t)]
+        h, edges = np.histogram(phi_t, bins=36, range=(-np.pi, np.pi), density=True)
+        print("\nHMC test-set phi histogram (36 bins, density):")
+        mass_c5 = h[(edges[:-1] >= -np.pi) & (edges[:-1] < -2 * np.pi / 3)].sum()
+        mass_c7 = h[(edges[:-1] >= -2 * np.pi / 3) & (edges[:-1] < -np.pi / 6)].sum()
+        tot = h.sum()
+        print(f"  mass phi in [-180,-120) deg: {mass_c5 / tot:.4f}")
+        print(f"  mass phi in [-120, -30) deg: {mass_c7 / tot:.4f}")
+
+    print("\nVERDICT inputs complete — interpret: if the scan's phi marginal and "
+          "the HMC test set agree that phi ~ -80 deg dominates, the potential's "
+          "torsion surface is sane and the flow's phi ~ -155 deg concentration "
+          "is an under-training/mode-weighting issue, not a physics bug.")
+
+
+if __name__ == "__main__":
+    main()

@@ -160,9 +160,14 @@ def make_aldp_model(cfg) -> Tuple[FABModel, AldpBoltzmann]:
     if cfg.training.get("filter_chirality") == "train":
         import dataclasses
 
-        from fab_tpu.utils.aldp_eval import make_chirality_filter_jax
+        from fab_tpu.utils.aldp_eval import (
+            chirality_scale_shift,
+            make_chirality_filter_jax,
+        )
 
+        scale, shift = chirality_scale_shift(target.transform)
         model = dataclasses.replace(
-            model, sample_filter=make_chirality_filter_jax()
+            model,
+            sample_filter=make_chirality_filter_jax(scale=scale, shift=shift),
         )
     return model, target

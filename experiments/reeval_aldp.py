@@ -25,7 +25,11 @@ import jax
 import numpy as np
 
 from fab_tpu.checkpoint import latest_checkpoint, load_checkpoint
-from fab_tpu.utils.aldp_eval import evaluate_aldp, filter_chirality
+from fab_tpu.utils.aldp_eval import (
+    chirality_scale_shift,
+    evaluate_aldp,
+    filter_chirality,
+)
 from fab_tpu.utils.training import apply_overrides, load_config, maybe_enable_x64
 
 from experiments.make_aldp_model import make_aldp_model
@@ -53,7 +57,10 @@ def main(argv=None):
     print(f"loaded {ckpt} (iter {it})")
 
     z_test = np.load(os.path.join(args.run, "test_set.npy"))
-    keep = np.asarray(filter_chirality(jax.numpy.asarray(z_test)))
+    scale, shift = chirality_scale_shift(target.transform)
+    keep = np.asarray(
+        filter_chirality(jax.numpy.asarray(z_test), scale=scale, shift=shift)
+    )
     print(
         f"test set: {len(z_test)} rows, frac_L_form={keep.mean():.4f} -> "
         f"keeping {int(keep.sum())} L-form rows"

@@ -95,9 +95,12 @@ def generate_test_set(target, key, n_samples=10_000, n_steps=400, n_chains=None)
     # D-form), and a racemic test set saturates kld_phi/kld_ram for every
     # single-chirality flow. Matches the spirit of the reference's
     # filter_chirality (aldp/train.py:228-243) applied to evaluation data.
-    from fab_tpu.utils.aldp_eval import filter_chirality
+    from fab_tpu.utils.aldp_eval import chirality_scale_shift, filter_chirality
 
-    keep = np.asarray(filter_chirality(jnp.asarray(data)))
+    scale, shift = chirality_scale_shift(target.transform)
+    keep = np.asarray(
+        filter_chirality(jnp.asarray(data), scale=scale, shift=shift)
+    )
     # Guard like the reference's train-time filter (aldp/train.py:230: only
     # filter when mean(ind_L) > 0.1): if the chains settled entirely in the
     # D-form basin, filtering would leave 0 rows and the tile fallback below

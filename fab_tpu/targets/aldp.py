@@ -70,6 +70,15 @@ PHI_ATOMS = (4, 6, 8, 14)
 PSI_ATOMS = (6, 8, 14, 16)
 
 
+def ca_signed_volume(pos: np.ndarray) -> np.ndarray:
+    """Stereochemistry scalar at CA(8): (N6-CA) x (C14-CA) . (CB10-CA) for
+    pos [..., 22, 3]. POSITIVE for L-alanine (calibrated on the committed
+    openmmtools L-form OpenMM minimum, tests/data/aldp_openmm_min_energy_nm.npy,
+    signed volume +2.56 A^3); mirror images negate it exactly."""
+    ca, n, c, cb = pos[..., 8, :], pos[..., 6, :], pos[..., 14, :], pos[..., 10, :]
+    return np.einsum("...i,...i->...", np.cross(n - ca, c - ca), cb - ca)
+
+
 def _ideal_internal_coords(zmat: ZMatrixTransform) -> np.ndarray:
     """Chemically sensible starting internal coordinates (bond r0s, tetrahedral/
     trigonal angles, staggered dihedrals) used to seed the energy minimisation."""
@@ -139,6 +148,20 @@ class AldpBoltzmann(TargetDistribution):
             ref_cart = np.load(data_path).reshape(-1, N_ATOMS * 3)
         else:
             ref_cart = self._minimise(zmat, minimise_steps)
+        # Enforce L-alanine handedness (round-4 fix): the idealised z-matrix
+        # seed happened to build the MIRROR (D) form, and every downstream
+        # artifact inherited it — the transform's mean/std fit, the HMC
+        # test-set seeds, and the flow's z=0 basin. The potential is achiral,
+        # so the mirror image of a minimum is an equally valid minimum: if the
+        # reference configuration is D-form (negative CA signed volume),
+        # reflect it to L.
+        pos = ref_cart.reshape(-1, N_ATOMS, 3)
+        d_form = ca_signed_volume(pos) < 0.0
+        if np.any(d_form):
+            pos = pos.copy()
+            pos[d_form, :, 0] *= -1.0
+            ref_cart = pos.reshape(-1, N_ATOMS * 3)
+        assert np.all(ca_signed_volume(ref_cart.reshape(-1, N_ATOMS, 3)) > 0.0)
         self.ref_cartesian = ref_cart
         self.transform = NormalizedInternalTransform.from_data(
             zmat,

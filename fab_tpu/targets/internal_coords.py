@@ -36,7 +36,12 @@ def _normalize(v: Array, eps: float = 1e-12) -> Array:
 
 
 def dihedral_angle(p0: Array, p1: Array, p2: Array, p3: Array) -> Array:
-    """Signed dihedral of the chain p0-p1-p2-p3 in [-pi, pi] (IUPAC sign)."""
+    """Signed dihedral of the chain p0-p1-p2-p3 in [-pi, pi], IUPAC sign
+    (matches mdtraj / the Praxeolitic formula — verified against it in
+    tests/test_aldp.py). Round-3's version returned the NEGATIVE of this,
+    which mirrored every reported phi/psi against literature Ramachandran
+    conventions (the L-form golden frame read as phi=+146 deg instead of the
+    C5 region's -146 deg)."""
     b0 = p1 - p0
     b1 = p2 - p1
     b2 = p3 - p2
@@ -45,7 +50,7 @@ def dihedral_angle(p0: Array, p1: Array, p2: Array, p3: Array) -> Array:
     m1 = jnp.cross(n1, _normalize(b1))
     x = jnp.sum(n1 * n2, -1)
     y = jnp.sum(m1 * n2, -1)
-    return jnp.arctan2(y, x)
+    return jnp.arctan2(-y, x)
 
 
 def bond_angle(p0: Array, p1: Array, p2: Array) -> Array:
@@ -143,12 +148,12 @@ class ZMatrixTransform:
             n = _normalize(jnp.cross(b_pos - c_pos, bc))
             m = jnp.cross(n, bc)
             # Sign of the n-component chosen so that
-            # dihedral_angle(P, r1, r2, r3) == phi exactly.
+            # dihedral_angle(P, r1, r2, r3) == phi exactly (IUPAC sign).
             d_vec = (
                 -d[..., None] * jnp.cos(theta)[..., None] * bc
                 + d[..., None]
                 * jnp.sin(theta)[..., None]
-                * (jnp.cos(phi)[..., None] * m - jnp.sin(phi)[..., None] * n)
+                * (jnp.cos(phi)[..., None] * m + jnp.sin(phi)[..., None] * n)
             )
             pos = pos.at[..., atom, :].set(a_pos + d_vec)
         log_det = jnp.log(b2) + jnp.sum(

@@ -48,19 +48,50 @@ def filter_chirality(
     ind=CHIRALITY_DIMS,
     mean_diff: Optional[float] = None,
     threshold: float = 0.8,
+    scale=None,
+    shift=None,
 ) -> np.ndarray:
-    """Boolean mask of samples in the canonical (L-like) chirality basin.
+    """Boolean mask of samples in the L-alanine chirality basin.
 
-    The difference of the HA and CB dihedrals about the CA frame sits near +-2pi/3
-    depending on handedness; samples within ``threshold`` of ``mean_diff`` pass.
-    With ``mean_diff=None`` the canonical value -2pi/3 is used (our idealised
-    reference geometry's handedness; the reference hard-codes its own layout's
-    -0.043, aldp.py:308).
+    The difference of the HA and CB dihedrals about the CA frame (RAW radians,
+    IUPAC dihedral sign) sits near -2pi/3 for the L-form and +2pi/3 for the
+    D-form — calibrated on the committed openmmtools L-alanine OpenMM minimum
+    and its explicit mirror image (tests/test_aldp.py), and cross-checked
+    against the geometric CA signed volume (targets/aldp.ca_signed_volume).
+    Samples within ``threshold`` of ``mean_diff`` (default -2pi/3 = L) pass.
+
+    ``scale``/``shift`` unscale flow coordinates back to raw radians:
+    dim 48 (HA, z-row 7) is NOT in the circular-dim list, so the normalised
+    transform standardises it ((raw - mean)/std); dim 49 (CB) is circular and
+    stays raw. Pass ``scale=(transform.std[ind[0]], transform.std[ind[1]])``
+    and ``shift=(transform.mean[...])`` — or use
+    ``chirality_scale_shift(transform)``. Defaults (None) assume raw radians.
+
+    (Round-3's version subtracted the SCALED dim 48 from the raw dim 49 —
+    dimensionally incoherent — which selected the D-form near the reference
+    geometry while reporting it as L. The reference hard-codes its own
+    layout's empirical -0.043, aldp.py:308.)
     """
     if mean_diff is None:
         mean_diff = -2.0 * np.pi / 3.0
-    diff = _wrap(z_flow[:, ind[0]] - z_flow[:, ind[1]])
+    a = z_flow[:, ind[0]]
+    b = z_flow[:, ind[1]]
+    if scale is not None:
+        a = a * scale[0]
+        b = b * scale[1]
+    if shift is not None:
+        a = a + shift[0]
+        b = b + shift[1]
+    diff = _wrap(_wrap(a) - _wrap(b))
     return np.abs(_wrap(diff - mean_diff)) < threshold
+
+
+def chirality_scale_shift(transform, ind=CHIRALITY_DIMS):
+    """(scale, shift) tuples mapping flow coords at ``ind`` to raw radians."""
+    return (
+        (float(transform.std[ind[0]]), float(transform.std[ind[1]])),
+        (float(transform.mean[ind[0]]), float(transform.mean[ind[1]])),
+    )
 
 
 def make_chirality_filter_jax(
@@ -68,6 +99,8 @@ def make_chirality_filter_jax(
     mean_diff: Optional[float] = None,
     threshold: float = 0.8,
     min_frac: float = 0.1,
+    scale=None,
+    shift=None,
 ):
     """Pure-JAX train-time chirality filter: ``(x, mask) -> mask``.
 
@@ -85,12 +118,15 @@ def make_chirality_filter_jax(
     if mean_diff is None:
         mean_diff = -2.0 * np.pi / 3.0
     i0, i1 = ind
+    s0, s1 = (1.0, 1.0) if scale is None else scale
+    t0, t1 = (0.0, 0.0) if shift is None else shift
 
     def wrap(a):
         return (a + np.pi) % (2 * np.pi) - np.pi
 
     def sample_filter(x, mask):
-        diff = wrap(x[:, i0] - x[:, i1])
+        # Unscale to RAW radians before differencing (see filter_chirality).
+        diff = wrap(wrap(x[:, i0] * s0 + t0) - wrap(x[:, i1] * s1 + t1))
         ind_l = jnp.abs(wrap(diff - mean_diff)) < threshold
         n_valid = jnp.maximum(jnp.sum(mask), 1)
         frac_l = jnp.sum(ind_l & mask) / n_valid
@@ -117,6 +153,7 @@ def evaluate_aldp(
 
     z_sample = np.asarray(z_sample)
     z_test = np.asarray(z_test)
+    ch_scale, ch_shift = chirality_scale_shift(target.transform)
 
     # Marginal KLDs over normalised internal coords (aldp.py:60-107).
     nbins = 200
@@ -179,7 +216,8 @@ def evaluate_aldp(
         "kld_phi": kld_phi,
         "kld_psi": kld_psi,
         "kld_ram": kld_ram,
-        "frac_L_form": float(np.mean(filter_chirality(z_sample))),
+        "frac_L_form": float(np.mean(filter_chirality(
+            z_sample, scale=ch_scale, shift=ch_shift))),
     }
 
     if metric_dir is not None:

@@ -245,7 +245,11 @@ def test_aldp_flow_factory(key):
 
 
 def test_evaluate_aldp_runs(target, key):
-    from fab_tpu.utils.aldp_eval import evaluate_aldp, filter_chirality
+    from fab_tpu.utils.aldp_eval import (
+        chirality_scale_shift,
+        evaluate_aldp,
+        filter_chirality,
+    )
 
     z_min, _ = target.transform.cartesian_to_flow(jnp.asarray(target.ref_cartesian))
     z_a = np.asarray(z_min + 0.05 * jax.random.normal(key, (500, 60)))
@@ -257,8 +261,42 @@ def test_evaluate_aldp_runs(target, key):
         assert np.isfinite(metrics[k])
     # Same-distribution samples: small KLDs.
     assert metrics["kld_ram"] < 5.0
-    # Chirality filter passes the reference structure's own basin.
-    assert filter_chirality(z_a).mean() > 0.9
+    # Chirality filter passes the reference structure's own basin (the
+    # reference configuration is L-enforced, so frac_L_form ~ 1 here).
+    scale, shift = chirality_scale_shift(target.transform)
+    assert filter_chirality(z_a, scale=scale, shift=shift).mean() > 0.9
+    assert metrics["frac_L_form"] > 0.9
+
+
+def test_chirality_filter_calibration_against_golden_frame(target, golden_pos):
+    """The L/D classification must agree with geometry: the committed
+    openmmtools L-alanine OpenMM minimum passes as L, its explicit mirror
+    image fails, and both agree with the CA signed volume
+    (targets/aldp.ca_signed_volume). Round-3's filter subtracted a
+    STANDARDISED coord from a raw circular one and targeted -2pi/3, which
+    selected the D-form near the reference geometry — this test pins the
+    corrected raw-radian +2pi/3 convention end-to-end through the transform."""
+    from fab_tpu.targets.aldp import ca_signed_volume
+    from fab_tpu.utils.aldp_eval import chirality_scale_shift, filter_chirality
+
+    pos = np.asarray(golden_pos, np.float64).reshape(1, 22, 3)
+    assert ca_signed_volume(pos)[0] > 0  # golden frame is L
+    mirror = pos * np.array([-1.0, 1.0, 1.0])
+    assert ca_signed_volume(mirror)[0] < 0
+
+    scale, shift = chirality_scale_shift(target.transform)
+    z_l, _ = target.transform.cartesian_to_flow(jnp.asarray(pos.reshape(1, 66)))
+    z_d, _ = target.transform.cartesian_to_flow(jnp.asarray(mirror.reshape(1, 66)))
+    assert filter_chirality(np.asarray(z_l), scale=scale, shift=shift)[0]
+    assert not filter_chirality(np.asarray(z_d), scale=scale, shift=shift)[0]
+
+    # The self-minimised reference configuration is L-enforced.
+    assert ca_signed_volume(
+        np.asarray(target.ref_cartesian).reshape(-1, 22, 3)
+    ).min() > 0
+    # And round-trips through the transform as L.
+    z_ref, _ = target.transform.cartesian_to_flow(jnp.asarray(target.ref_cartesian))
+    assert filter_chirality(np.asarray(z_ref), scale=scale, shift=shift).all()
 
 
 def test_train_time_chirality_filter(key):
@@ -273,7 +311,8 @@ def test_train_time_chirality_filter(key):
     i0, i1 = CHIRALITY_DIMS
     n = 400
     z = np.array(jax.random.uniform(key, (n, 60), minval=-np.pi, maxval=np.pi))
-    # Make the first 60% L-form (diff near -2pi/3) and the rest D-form (+2pi/3).
+    # Make the first 60% L-form (raw diff near -2pi/3, IUPAC sign) and the
+    # rest D-form (+2pi/3); calibrated on the golden L frame.
     z[: int(0.6 * n), i1] = z[: int(0.6 * n), i0] + 2 * np.pi / 3
     z[int(0.6 * n):, i1] = z[int(0.6 * n):, i0] - 2 * np.pi / 3
     z = (z + np.pi) % (2 * np.pi) - np.pi
@@ -484,3 +523,34 @@ def test_implicit_env_log_prob(golden_pos):
     zf, _ = t_imp.transform.cartesian_to_flow(golden_pos.reshape(1, 66))
     lp = float(t_imp.log_prob(zf)[0])
     assert -150.0 < lp < 50.0, lp
+
+
+def test_dihedral_angle_iupac_sign(key):
+    """dihedral_angle matches the IUPAC-sign Praxeolitic formula (the
+    convention mdtraj uses for the reference's phi/psi metrics,
+    fab/utils/aldp.py). Round-3's implementation returned the negative."""
+    from fab_tpu.targets.internal_coords import dihedral_angle
+
+    def praxeolitic(p0, p1, p2, p3):
+        b0 = -1.0 * (p1 - p0)
+        b1 = p2 - p1
+        b2 = p3 - p2
+        b1 = b1 / np.linalg.norm(b1)
+        v = b0 - np.dot(b0, b1) * b1
+        w = b2 - np.dot(b2, b1) * b1
+        return np.arctan2(np.dot(np.cross(b1, v), w), np.dot(v, w))
+
+    pts = np.asarray(jax.random.normal(key, (8, 4, 3)), np.float64)
+    for P in pts:
+        expected = praxeolitic(*P)
+        got = float(dihedral_angle(*[jnp.asarray(p)[None] for p in P])[0])
+        np.testing.assert_allclose(got, expected, atol=1e-6)
+
+    # The L-form golden frame reads in the C5/extended region under this
+    # convention: phi ~ -146 deg, psi ~ +150 deg (literature Ramachandran).
+    pos = np.load("tests/data/aldp_openmm_min_energy_nm.npy").reshape(22, 3) * 10.0
+    p = jnp.asarray(pos)[None]
+    phi = float(dihedral_angle(*[p[:, a] for a in (4, 6, 8, 14)])[0])
+    psi = float(dihedral_angle(*[p[:, a] for a in (6, 8, 14, 16)])[0])
+    assert -3.0 < phi < -2.0, phi
+    assert 2.0 < psi < 3.0, psi
