@@ -73,8 +73,13 @@ def main(argv=None):
     header = " & ".join(["Method"] + [label for _, label, _ in metrics])
     print(header + r" \\")
     print(r"\midrule")
+    n_seeds_max = max(len(rs) for rs in grouped.values()) if grouped else 0
     for name, rs in grouped.items():
         cells = [name.replace("_", r"\_")]
+        # Annotate rows aggregating fewer seeds than the rest of the table so
+        # a reader never over-trusts a 1-seed "+- 0" sem (VERDICT r3 weak 4).
+        if 0 < len(rs) < n_seeds_max:
+            cells[0] += rf" [{len(rs)} seed{'s' if len(rs) > 1 else ''} only]"
         for key, _, scale in metrics:
             vals = [float(r[key]) * scale for r in rs if r.get(key, "") != ""]
             if not vals:

@@ -31,7 +31,11 @@ run() {  # cell tlimit extra-overrides...
   tail -2 "/tmp/init_ab_${cell}.log" || true
 }
 
-for c in "${@:-snf_he snf_torch rsb_torch fabbuf_torch}"; do
+CELLS=("$@")
+if [ ${#CELLS[@]} -eq 0 ]; then
+  CELLS=(snf_he snf_torch rsb_torch fabbuf_torch)
+fi
+for c in "${CELLS[@]}"; do
   case "$c" in
     # (a) SNF under the reference protocol (sign-fixed code), he vs torch init.
     snf_he)    run snf_he 1.0 fab.loss_type=flow_reverse_kl flow.use_snf=true \
