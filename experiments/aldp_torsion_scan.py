@@ -84,7 +84,7 @@ def main(argv=None):
     ap.add_argument("--test-set", default=None,
                     help="optional path to a run's test_set.npy (internal coords)"
                     " for the empirical phi marginal")
-    ap.add_argument("--run-config", default="experiments/configs/aldp/fab_buff.yaml",
+    ap.add_argument("--run-config", default="experiments/configs/aldp.yaml",
                     help="config used to build the transform for --test-set")
     ap.add_argument("--out", default="reports/aldp_torsion_scan.csv")
     args = ap.parse_args(argv)
@@ -142,12 +142,11 @@ def main(argv=None):
     for e, ph, ps in minima[:8]:
         print(f"  E={e:7.2f}  phi={np.rad2deg(ph):7.1f}  psi={np.rad2deg(ps):7.1f}")
 
-    # Boltzmann phi marginal of the rigid map at 300 K.
-    w = np.exp(-(E - E.min(axis=1, keepdims=True).min()) / KT_300K)
-    p_phi = w.sum(axis=1)
-    p_phi /= p_phi.sum()
+    # Boltzmann phi marginal of the rigid map at 300 K (E already has min 0).
+    w_phi = np.exp(-E / KT_300K).sum(axis=1)
+    p_phi = w_phi / w_phi.sum()
     # Also the phi free-energy profile F(phi) = -kT log sum_psi exp(-E/kT).
-    F_phi = -KT_300K * np.log(w.sum(axis=1) + 1e-300)
+    F_phi = -KT_300K * np.log(w_phi + 1e-300)
     F_phi -= F_phi.min()
 
     def band_mass(lo_deg, hi_deg):

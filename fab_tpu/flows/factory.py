@@ -87,7 +87,8 @@ def make_resampled_realnvp(
         init_mode=init_mode,
     )
     base = ResampledGaussianBase(
-        dim=dim, hidden_units=a_hidden_units, n_hidden_layers=a_hidden_layers, T=T
+        dim=dim, hidden_units=a_hidden_units, n_hidden_layers=a_hidden_layers, T=T,
+        init_mode=init_mode,
     )
     return Flow(dim=dim, bijectors=flow.bijectors, base_dist=base)
 

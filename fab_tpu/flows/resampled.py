@@ -36,13 +36,17 @@ class ResampledGaussianBase:
     T: int = 100  # truncation: max proposals per sample
     n_z_points: int = 1024  # MC points for the Z estimate
     z_seed: int = 0
+    init_mode: str = "he_normal"  # "torch" = torch.nn.Linear defaults (see mlp_init)
 
     def init(self, dtype=jnp.float32):
         key = jax.random.key(self.z_seed)
         key_net, key_pts = jax.random.split(key)
         sizes = [self.dim] + [self.hidden_units] * self.n_hidden_layers + [1]
         return {
-            "accept_net": mlp_init(key_net, sizes, zero_init_last=True, dtype=dtype),
+            "accept_net": mlp_init(
+                key_net, sizes, zero_init_last=True, dtype=dtype,
+                init_mode=self.init_mode,
+            ),
             # Fixed proposal points for the normaliser estimate (non-trainable).
             "z_points": jax.random.normal(
                 key_pts, (self.n_z_points, self.dim), dtype

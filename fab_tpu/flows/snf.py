@@ -75,7 +75,8 @@ class MetropolisSamplingLayer:
         # log pi(start) - log pi(end). sample_and_log_prob consumes it as
         # log_q -= ld, so the effective log q GAINS +(log pi_end - log pi_start),
         # which makes a single lam=1 layer telescope the importance weight to
-        # log p(z0) - log q0(z0) (AIS identity) — see tests/test_flows.py.
+        # log p(z0) - log q0(z0) (AIS identity) — see
+        # tests/test_snf_resampled.py::test_snf_single_layer_telescopes_to_ais_identity.
         # (Round-3 had the sign inverted, biasing log_q by 2x the ratio and
         # mis-directing reverse-KL training — the documented SNF divergence.)
         return x, log_pi_start - log_pi_end

@@ -123,9 +123,12 @@ class LogGaussianCoxProcess(TargetDistribution):
         # linear continuation keeps a huge restoring gradient (-cell_area *
         # exp(80) per unit x) while staying finite in f32 up to |x| ~ 1e3.
         # No effect in the posterior-typical region (x ~ mu +- a few).
+        # The linear overshoot is itself capped at 1e3 so exp_term stays
+        # <= 5.6e37 < f32 max for ANY x (an x beyond 1080 is a fully diverged
+        # sample; it keeps the enormous finite penalty, just a zero gradient).
         exp_term = jnp.where(
             x > 80.0,
-            jnp.exp(80.0) * (1.0 + (x - 80.0)),
+            jnp.exp(80.0) * (1.0 + jnp.minimum(x - 80.0, 1e3)),
             jnp.exp(jnp.minimum(x, 80.0)),
         )
         log_lik = jnp.sum(x * self.counts - self.cell_area * exp_term, axis=-1)

@@ -273,9 +273,10 @@ def test_chirality_filter_calibration_against_golden_frame(target, golden_pos):
     openmmtools L-alanine OpenMM minimum passes as L, its explicit mirror
     image fails, and both agree with the CA signed volume
     (targets/aldp.ca_signed_volume). Round-3's filter subtracted a
-    STANDARDISED coord from a raw circular one and targeted -2pi/3, which
-    selected the D-form near the reference geometry — this test pins the
-    corrected raw-radian +2pi/3 convention end-to-end through the transform."""
+    STANDARDISED coord from a raw circular one, which selected the D-form
+    near the reference geometry — this test pins the corrected raw-radian
+    convention (L = diff -2pi/3 under the IUPAC dihedral sign) end-to-end
+    through the transform."""
     from fab_tpu.targets.aldp import ca_signed_volume
     from fab_tpu.utils.aldp_eval import chirality_scale_shift, filter_chirality
 
