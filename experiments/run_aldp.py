@@ -148,8 +148,9 @@ def run_ml_training(cfg, model, target, z_train, z_test, key):
     @jax.jit
     def step(flow_params, opt_state, key):
         idx = jax.random.randint(key, (batch_size,), 0, n_train)
+        key_lq = jax.random.fold_in(key, 0x11A7)  # SNF log_prob noise (ignored else)
         loss, grads = jax.value_and_grad(
-            lambda fp: model.forward_kl_loss({"flow": fp}, z_train[idx])
+            lambda fp: model.forward_kl_loss({"flow": fp}, z_train[idx], key_lq)
         )(flow_params)
         # NaN-guarded update (train.py pattern): skip the step on non-finite grads.
         finite = jnp.isfinite(loss) & jnp.all(

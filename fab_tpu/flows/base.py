@@ -20,6 +20,21 @@ Array = jnp.ndarray
 Params = Any
 
 
+def flow_log_prob(flow, params: Params, x: Array, key: jax.Array = None) -> Array:
+    """log_prob that threads a PRNG key iff the flow is stochastic (SNF).
+
+    Deterministic flows ignore the key (their log_prob is exact). Stochastic
+    flows (fab_tpu/flows/snf.py StochasticFlow) require one so the MH sampling
+    layers draw fresh noise — routing every in-repo call site through this
+    helper keeps them on the unbiased stochastic path (the reference's SNF
+    layers consume fresh torch global RNG per call,
+    /root/reference/experiments/make_flow/make_normflow_model.py:33-79).
+    """
+    if getattr(flow, "is_stochastic", False):
+        return flow.log_prob(params, x, key=key)
+    return flow.log_prob(params, x)
+
+
 class Bijector:
     """Static bijector config. Subclasses implement pure init/forward/inverse."""
 

@@ -116,6 +116,11 @@ class StochasticFlow:
     layers: Tuple[Any, ...]  # Bijector | MetropolisSamplingLayer
     base_dist: Any = None  # DiagGaussianBase | UniformGaussianBase | resampled
 
+    # Marks this flow as needing a PRNG key for log_prob — consumed by
+    # fab_tpu.flows.base.flow_log_prob, which every in-repo log_prob call site
+    # routes through.
+    is_stochastic = True
+
     @property
     def base(self):
         return self.base_dist if self.base_dist is not None else DiagGaussianBase(
@@ -137,6 +142,11 @@ class StochasticFlow:
         }
 
     def sample_and_log_prob(self, params, key: jax.Array, n: int):
+        # NOTE: tests/test_snf_resampled.py::test_snf_single_layer_telescopes_to_
+        # ais_identity reconstructs the base draw by replicating this exact split
+        # order (jax.random.split(key)[0] -> base). If you change the split
+        # discipline here, update that test in lockstep — a mismatch there is a
+        # key-derivation change, not a correctness regression.
         key_base, key_layers = jax.random.split(key)
         z, log_q = self.base.sample_and_log_prob(params["base"], key_base, n)
         for i, (layer, p) in enumerate(zip(self.layers, params["layers"])):
@@ -152,16 +162,17 @@ class StochasticFlow:
     def sample(self, params, key: jax.Array, n: int):
         return self.sample_and_log_prob(params, key, n)[0]
 
-    def log_prob(self, params, x: Array, key: jax.Array = None) -> Array:
+    def log_prob(
+        self, params, x: Array, key: jax.Array = None, *, allow_fixed_key: bool = False
+    ) -> Array:
         if key is None:
-            import warnings
-
-            warnings.warn(
-                "SNF log_prob called without a PRNG key: the stochastic MH layers "
-                "fall back to a FIXED internal key, making log_prob a deterministic "
-                "(biased) estimate. Pass key= for an unbiased stochastic estimate.",
-                stacklevel=2,
-            )
+            if not allow_fixed_key:
+                raise ValueError(
+                    "SNF log_prob requires a PRNG key: the stochastic MH layers "
+                    "draw fresh noise per call (reference: normflows MH layers "
+                    "consume torch global RNG). Pass key=, or opt into the "
+                    "deterministic biased fallback with allow_fixed_key=True."
+                )
             key = jax.random.key(0)
         log_det = jnp.zeros(x.shape[:-1], x.dtype)
         for i, (layer, p) in enumerate(

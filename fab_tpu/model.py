@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fab_tpu import losses
-from fab_tpu.flows.base import Flow
+from fab_tpu.flows.base import Flow, flow_log_prob
 from fab_tpu.sampling.ais import AISResult, AnnealedImportanceSampler
 from fab_tpu.targets.base import TargetDistribution
 from fab_tpu.typing import Array
@@ -121,7 +121,9 @@ class FABModel:
             # are zero-filled BEFORE the evaluation — masking only the loss value
             # would still let NaNs poison the backward pass (0 * NaN cotangents).
             x_safe = jnp.where(mask[:, None], result.point.x, 0.0)
-            log_q_x = self.flow.log_prob(flow_params, x_safe)
+            log_q_x = flow_log_prob(
+                self.flow, flow_params, x_safe, jax.random.fold_in(key, 0x11A7)
+            )
             loss = losses.fab_alpha_div(
                 log_q_x, result.log_w, self.alpha, mask
             )
@@ -138,7 +140,9 @@ class FABModel:
             )
             mask = self.filter_batch(result.point.x, result.mask)
             x_safe = jnp.where(mask[:, None], result.point.x, 0.0)
-            log_q_x = self.flow.log_prob(flow_params, x_safe)
+            log_q_x = flow_log_prob(
+                self.flow, flow_params, x_safe, jax.random.fold_in(key, 0x11A7)
+            )
             loss = losses.fab_ub_alpha_2_div(
                 log_q_x, result.point.log_p, result.log_w, mask
             )
@@ -164,14 +168,26 @@ class FABModel:
                 loss = loss_fn(log_q, log_p)
         elif self.loss_type == "target_forward_kl":
             x_p = self.target.sample(key, batch_size)
-            loss = losses.forward_kl(self.flow.log_prob(flow_params, x_p))
+            loss = losses.forward_kl(
+                flow_log_prob(
+                    self.flow, flow_params, x_p, jax.random.fold_in(key, 0x11A7)
+                )
+            )
         else:
             raise NotImplementedError(self.loss_type)
         return loss, (new_params, info)
 
-    def forward_kl_loss(self, params: Params, x_p: Array) -> Array:
-        """Forward KL given target samples (fab/core.py:181-183)."""
-        return losses.forward_kl(self.flow.log_prob(params["flow"], x_p))
+    def forward_kl_loss(
+        self, params: Params, x_p: Array, key: jax.Array = None
+    ) -> Array:
+        """Forward KL given target samples (fab/core.py:181-183).
+
+        ``key`` is only consumed by stochastic (SNF) flows, whose log_prob
+        estimate needs fresh MH noise; deterministic flows ignore it.
+        """
+        return losses.forward_kl(
+            flow_log_prob(self.flow, params["flow"], x_p, key)
+        )
 
     # ------------------------------------------------------------------- eval
 
@@ -276,9 +292,10 @@ class FABModel:
             ),
         }
         flow_params = params["flow"]
+        key_lq = jax.random.fold_in(key_metrics, 0x11A7)
 
         def log_q_fn(x):
-            return self.flow.log_prob(flow_params, x)
+            return flow_log_prob(self.flow, flow_params, x, key_lq)
 
         if not ais_only:
             flow_info = self.target.performance_metrics(

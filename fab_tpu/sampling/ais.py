@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fab_tpu.flows.base import Flow
+from fab_tpu.flows.base import Flow, flow_log_prob
 from fab_tpu.sampling.point import create_point, intermediate_log_prob
 from fab_tpu.sampling.schedules import beta_schedule
 from fab_tpu.typing import Array, LogProbFn, Point
@@ -69,8 +69,14 @@ class AnnealedImportanceSampler:
         betas = jnp.asarray(self.betas)
         trans_op = self.transition_operator
 
+        # Per-pass key for stochastic-flow (SNF) log_prob: fresh every AIS pass,
+        # held fixed *within* the pass so the chain anneals against one coherent
+        # log q estimate. fold_in (rather than re-splitting key) leaves the
+        # key_init/key_chain stream bitwise-unchanged for deterministic flows.
+        key_lq = jax.random.fold_in(key, 0x10C9)
+
         def log_q_fn(x):
-            return self.flow.log_prob(flow_params, x)
+            return flow_log_prob(self.flow, flow_params, x, key_lq)
 
         key_init, key_chain = jax.random.split(key)
         x, log_q_flow = self.flow.sample_and_log_prob(

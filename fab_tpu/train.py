@@ -27,6 +27,7 @@ import optax
 from fab_tpu import losses as losses_lib
 from fab_tpu.buffer import PrioritisedBufferState, PrioritisedReplayBuffer
 from fab_tpu.checkpoint import load_checkpoint, save_checkpoint
+from fab_tpu.flows.base import flow_log_prob
 from fab_tpu.model import FABModel, format_transition_info
 from fab_tpu.parallel.mesh import constrain_batch
 from fab_tpu.typing import Array
@@ -466,17 +467,20 @@ class BufferTrainer(Trainer):
         clip_frac = self.clip_ais_weights_frac
         flow = model.flow
 
-        def inner_update(flow_params, opt_state, x, log_w, mask):
+        def inner_update(flow_params, opt_state, x, log_w, mask, key=None):
             """One fab_alpha_div gradient step on given points/weights
             (fab/core.py:112-118 via train_with_buffer.py:84-93). Rows with
             non-finite log q are probed out and zero-filled first (no NaN
-            cotangents, no skipped steps)."""
-            log_q_probe = jax.lax.stop_gradient(flow.log_prob(flow_params, x))
+            cotangents, no skipped steps). ``key`` feeds stochastic-flow (SNF)
+            log_prob noise; deterministic flows ignore it."""
+            log_q_probe = jax.lax.stop_gradient(
+                flow_log_prob(flow, flow_params, x, key)
+            )
             mask = mask & jnp.isfinite(log_q_probe)
             x = jnp.where(mask[:, None], x, 0.0)
 
             def loss_fn(fp):
-                log_q_x = flow.log_prob(fp, x)
+                log_q_x = flow_log_prob(flow, fp, x, key)
                 return losses_lib.fab_alpha_div(log_q_x, log_w, alpha, mask)
 
             loss, grads = jax.value_and_grad(loss_fn)(flow_params)
@@ -500,7 +504,7 @@ class BufferTrainer(Trainer):
                 log_w_ais = jnp.minimum(log_w_ais, kth)
             flow_params, opt_state, loss, grad_norm = inner_update(
                 state.params["flow"], state.opt_state, result.point.x, log_w_ais,
-                result.mask,
+                result.mask, jax.random.fold_in(key, 0x11A7),
             )
 
             def replay_step(carry, key_b):
@@ -509,7 +513,8 @@ class BufferTrainer(Trainer):
                 x = constrain_batch(x)
                 mask = jnp.isfinite(log_w)
                 flow_params, opt_state, r_loss, _ = inner_update(
-                    flow_params, opt_state, x, log_w, mask
+                    flow_params, opt_state, x, log_w, mask,
+                    jax.random.fold_in(key_b, 0x11A7),
                 )
                 return (flow_params, opt_state), r_loss
 
@@ -669,10 +674,16 @@ class PrioritisedBufferTrainer(Trainer):
                 buffer_state, key_sample, batch_size, n_batches
             )
 
+            # Per-replay-batch keys for stochastic-flow (SNF) log_prob noise;
+            # deterministic flows ignore them.
+            replay_keys = jax.random.split(
+                jax.random.fold_in(key, 0x11A7), n_batches
+            )
+
             # 3. Replay gradient steps (train_with_prioritised_buffer.py:158-186).
             def replay_step(carry, batch_data):
                 flow_params, opt_state, buffer_state = carry
-                x, log_w_b, log_q_old, idx = batch_data
+                x, log_w_b, log_q_old, idx, key_lq = batch_data
                 x = constrain_batch(x)
                 row_ok = jnp.isfinite(log_w_b)  # killed/unwritten rows
                 # Probe pass: rows whose log q is non-finite (extreme AIS points)
@@ -681,12 +692,14 @@ class PrioritisedBufferTrainer(Trainer):
                 # (train_with_prioritised_buffer.py:172-181). The probe also lets
                 # us zero-fill bad rows BEFORE the differentiated evaluation so no
                 # NaN cotangents can leak.
-                log_q_probe = jax.lax.stop_gradient(flow.log_prob(flow_params, x))
+                log_q_probe = jax.lax.stop_gradient(
+                    flow_log_prob(flow, flow_params, x, key_lq)
+                )
                 row_ok = row_ok & jnp.isfinite(log_q_probe)
                 x = jnp.where(row_ok[:, None], x, 0.0)
 
                 def loss_fn(fp):
-                    log_q_x = flow.log_prob(fp, x)
+                    log_q_x = flow_log_prob(flow, fp, x, key_lq)
                     loss, log_w_adjust, w_pre = losses_lib.buffer_replay_loss(
                         log_q_x, log_q_old, alpha, w_clip, row_ok
                     )
@@ -722,16 +735,16 @@ class PrioritisedBufferTrainer(Trainer):
             (flow_params, opt_state, buffer_state), replay_infos = jax.lax.scan(
                 replay_step,
                 (state.params["flow"], state.opt_state, buffer_state),
-                (xs, log_ws, log_q_olds, idxs),
+                (xs, log_ws, log_q_olds, idxs, replay_keys),
             )
 
             if adjust_after:
                 # Post-hoc adjustment pass over the same mini-dataset
                 # (train_with_prioritised_buffer.py:200-214).
                 def adjust_step(buffer_state, batch_data):
-                    x, log_w_b, log_q_old, idx = batch_data
+                    x, log_w_b, log_q_old, idx, key_lq = batch_data
                     row_ok = jnp.isfinite(log_w_b)
-                    log_q_new = flow.log_prob(flow_params, x)
+                    log_q_new = flow_log_prob(flow, flow_params, x, key_lq)
                     log_w_adjust = (1 - alpha) * (log_q_new - log_q_old)
                     buffer_state = buffer.adjust(
                         buffer_state,
@@ -742,7 +755,8 @@ class PrioritisedBufferTrainer(Trainer):
                     return buffer_state, None
 
                 buffer_state, _ = jax.lax.scan(
-                    adjust_step, buffer_state, (xs, log_ws, log_q_olds, idxs)
+                    adjust_step, buffer_state,
+                    (xs, log_ws, log_q_olds, idxs, replay_keys),
                 )
 
             new_params = dict(

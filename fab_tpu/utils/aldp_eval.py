@@ -50,6 +50,8 @@ def filter_chirality(
     threshold: float = 0.8,
     scale=None,
     shift=None,
+    *,
+    raw: bool = False,
 ) -> np.ndarray:
     """Boolean mask of samples in the L-alanine chirality basin.
 
@@ -65,13 +67,22 @@ def filter_chirality(
     transform standardises it ((raw - mean)/std); dim 49 (CB) is circular and
     stays raw. Pass ``scale=(transform.std[ind[0]], transform.std[ind[1]])``
     and ``shift=(transform.mean[...])`` — or use
-    ``chirality_scale_shift(transform)``. Defaults (None) assume raw radians.
+    ``chirality_scale_shift(transform)``. They are REQUIRED unless ``raw=True``
+    explicitly declares the input is already raw radians — omitting them on
+    flow (standardised) coords silently reintroduces the round-3 unit-mixing
+    bug class, so the safe path is opt-out, not opt-in.
 
     (Round-3's version subtracted the SCALED dim 48 from the raw dim 49 —
     dimensionally incoherent — which selected the D-form near the reference
     geometry while reporting it as L. The reference hard-codes its own
     layout's empirical -0.043, aldp.py:308.)
     """
+    if (scale is None or shift is None) and not raw:
+        raise ValueError(
+            "filter_chirality: pass scale=/shift= (chirality_scale_shift("
+            "transform)) for flow-space coords, or raw=True if the input is "
+            "genuinely raw radians."
+        )
     if mean_diff is None:
         mean_diff = -2.0 * np.pi / 3.0
     a = z_flow[:, ind[0]]
@@ -101,6 +112,8 @@ def make_chirality_filter_jax(
     min_frac: float = 0.1,
     scale=None,
     shift=None,
+    *,
+    raw: bool = False,
 ):
     """Pure-JAX train-time chirality filter: ``(x, mask) -> mask``.
 
@@ -115,6 +128,12 @@ def make_chirality_filter_jax(
     """
     import jax.numpy as jnp
 
+    if (scale is None or shift is None) and not raw:
+        raise ValueError(
+            "make_chirality_filter_jax: pass scale=/shift= (chirality_scale_"
+            "shift(transform)) for flow-space coords, or raw=True if the input "
+            "is genuinely raw radians."
+        )
     if mean_diff is None:
         mean_diff = -2.0 * np.pi / 3.0
     i0, i1 = ind

@@ -318,10 +318,10 @@ def test_train_time_chirality_filter(key):
     z[int(0.6 * n):, i1] = z[int(0.6 * n):, i0] - 2 * np.pi / 3
     z = (z + np.pi) % (2 * np.pi) - np.pi
 
-    f = make_chirality_filter_jax()
+    f = make_chirality_filter_jax(raw=True)
     mask = np.ones(n, bool)
     out = np.asarray(f(jnp.asarray(z), jnp.asarray(mask)))
-    np.testing.assert_array_equal(out, filter_chirality(z))
+    np.testing.assert_array_equal(out, filter_chirality(z, raw=True))
     assert 0.55 < out.mean() < 0.65
 
     # Guard: when < 10% of valid rows are L-form the mask is left unchanged.

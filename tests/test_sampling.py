@@ -315,3 +315,43 @@ def test_logw_validity_bound_not_tripped_by_heavy_tails(key):
     assert int(result.info["n_valid"]) == 2048
     finite_logw = result.log_w[jnp.isfinite(result.log_w)]
     assert float(jnp.max(jnp.abs(finite_logw))) < 1e10
+
+
+@pytest.mark.parametrize("op_name", ["hmc", "metropolis"])
+def test_transition_operators_under_debug_nans(op_name, key):
+    """Sanitizer analogue of the reference's anomaly-mode transition tests
+    (fab/sampling_methods/transition_operators/hmc_test.py:3 runs under
+    torch.autograd.set_detect_anomaly(True)): a healthy transition sweep must
+    produce NO NaN anywhere in the compiled program — jax_debug_nans raises at
+    the first NaN-producing primitive, including in intermediates that masks
+    would later hide."""
+    debug_nans_before = jax.config.jax_debug_nans
+    jax.config.update("jax_debug_nans", True)
+    try:
+        dim = 2
+        means = jnp.array([[-2.0, 0.0], [2.0, 0.0], [0.0, 2.0]])
+        target = HarnessTarget(means)
+        flow, params = make_gaussian_flow(dim, loc=0.0, scale=2.0)
+        n_dists = 3
+        if op_name == "hmc":
+            op = HamiltonianMonteCarlo(
+                n_ais_intermediate_distributions=n_dists, n_outer=1,
+                n_leapfrog=5, epsilon=1.0,
+            )
+        else:
+            op = Metropolis(n_ais_intermediate_distributions=n_dists, n_updates=5)
+        state = op.init_state(dim)
+        log_q_fn = lambda x: flow.log_prob(params, x)
+        x, _ = flow.sample_and_log_prob(params, key, 256)
+        point = create_point(x, log_q_fn, target.log_prob, op.uses_grad_info)
+        mask = jnp.ones(256, bool)
+        for i in range(n_dists):
+            key, sub = jax.random.split(key)
+            point, state, info = op.transition(
+                state, sub, point, jnp.asarray(1.0), jnp.asarray(i), log_q_fn,
+                target.log_prob, 1.0, mask, True,
+            )
+        assert bool(jnp.all(jnp.isfinite(point.x)))
+        assert bool(jnp.all(jnp.isfinite(info["p_accept"])))
+    finally:
+        jax.config.update("jax_debug_nans", debug_nans_before)

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fab_tpu.flows.resampled import ResampledGaussianBase
 from fab_tpu.flows.snf import MetropolisSamplingLayer, StochasticFlow, make_snf_model
@@ -93,6 +94,11 @@ def test_snf_model_sample_and_log_prob(key):
     assert x.shape == (64, 2) and bool(jnp.all(jnp.isfinite(log_q)))
     lp = flow.log_prob(params, x, key=key)
     assert bool(jnp.all(jnp.isfinite(lp)))
-    # Keyless call works (fixed internal key).
-    lp2 = flow.log_prob(params, x)
+    # Keyless call RAISES (round-4 verdict: the silent fixed-key fallback is
+    # opt-in only); the explicit opt-in still works and is deterministic.
+    with pytest.raises(ValueError, match="requires a PRNG key"):
+        flow.log_prob(params, x)
+    lp2 = flow.log_prob(params, x, allow_fixed_key=True)
+    lp3 = flow.log_prob(params, x, allow_fixed_key=True)
     assert bool(jnp.all(jnp.isfinite(lp2)))
+    assert bool(jnp.all(lp2 == lp3))
