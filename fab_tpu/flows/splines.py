@@ -18,6 +18,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fab_tpu.flows.base import Bijector
 from fab_tpu.flows.mlp import mlp_apply, mlp_init, mlp_param_sharding
@@ -43,8 +44,8 @@ def rational_quadratic_spline(
     raw_heights: Array,
     raw_derivs: Array,
     inverse: bool,
-    tail_bound: float,
-    circular: bool = False,
+    tail_bound,
+    circular=False,
 ) -> Tuple[Array, Array]:
     """Elementwise monotone RQ spline on [-B, B].
 
@@ -52,33 +53,57 @@ def rational_quadratic_spline(
     tails (boundary derivatives fixed to 1) or [..., K] for circular (first == last
     derivative, raw_derivs[..., 0] used for both boundaries).
     Returns (y, log|dy/dx|) with identity (or wrapped) behaviour outside the interval.
-    """
-    b = tail_bound
-    k = raw_widths.shape[-1]
 
-    widths = _normalise_bins(raw_widths, 2 * b, DEFAULT_MIN_BIN_WIDTH)
-    heights = _normalise_bins(raw_heights, 2 * b, DEFAULT_MIN_BIN_HEIGHT)
-    x_knots = jnp.cumsum(widths, axis=-1) - b
+    ``tail_bound`` and ``circular`` may also be ARRAYS broadcastable against x
+    (with raw_derivs then [..., K]): per-dim bounds/circularity let one call
+    transform a mixed circular/linear block — the split into two calls plus
+    index-gather/scatter merging made the ALDP flow dispatch-bound on TPU
+    (round-5 profile: ~43k kernel launches per training step, ~1% MFU).
+    """
+    k = raw_widths.shape[-1]
+    if isinstance(tail_bound, (int, float)):
+        b = tail_bound  # scalar: broadcasts everywhere
+        bk = tail_bound  # against [..., K] tensors
+    else:
+        b = jnp.asarray(tail_bound, raw_widths.dtype)  # broadcastable to x
+        bk = b[..., None]
+
+    widths = _normalise_bins(raw_widths, 2 * bk, DEFAULT_MIN_BIN_WIDTH)
+    heights = _normalise_bins(raw_heights, 2 * bk, DEFAULT_MIN_BIN_HEIGHT)
+    x_knots = jnp.cumsum(widths, axis=-1) - bk
     x_knots = jnp.concatenate(
-        [jnp.full_like(x_knots[..., :1], -b), x_knots], axis=-1
+        [jnp.broadcast_to(-bk, x_knots[..., :1].shape).astype(x_knots.dtype),
+         x_knots],
+        axis=-1,
     )  # [..., K+1]
-    y_knots = jnp.cumsum(heights, axis=-1) - b
+    y_knots = jnp.cumsum(heights, axis=-1) - bk
     y_knots = jnp.concatenate(
-        [jnp.full_like(y_knots[..., :1], -b), y_knots], axis=-1
+        [jnp.broadcast_to(-bk, y_knots[..., :1].shape).astype(y_knots.dtype),
+         y_knots],
+        axis=-1,
     )
 
     softplus = jax.nn.softplus
     # Offset chosen so raw=0 gives derivative exactly 1 -> the zero-initialised
     # conditioner yields (close to) the identity map, like the affine couplings.
     deriv_offset = jnp.log(jnp.expm1(1.0 - DEFAULT_MIN_DERIVATIVE))
-    if circular:
-        d_interior = DEFAULT_MIN_DERIVATIVE + softplus(raw_derivs + deriv_offset)
-        # Tie the two boundary derivatives to the same value (smooth on circle).
-        derivs = jnp.concatenate([d_interior, d_interior[..., :1]], axis=-1)
+    if isinstance(circular, bool):
+        if circular:
+            d_interior = DEFAULT_MIN_DERIVATIVE + softplus(raw_derivs + deriv_offset)
+            # Tie the two boundary derivatives to the same value (smooth on circle).
+            derivs = jnp.concatenate([d_interior, d_interior[..., :1]], axis=-1)
+        else:
+            d_interior = DEFAULT_MIN_DERIVATIVE + softplus(raw_derivs + deriv_offset)
+            ones = jnp.ones_like(d_interior[..., :1])
+            derivs = jnp.concatenate([ones, d_interior, ones], axis=-1)  # [..., K+1]
     else:
-        d_interior = DEFAULT_MIN_DERIVATIVE + softplus(raw_derivs + deriv_offset)
-        ones = jnp.ones_like(d_interior[..., :1])
-        derivs = jnp.concatenate([ones, d_interior, ones], axis=-1)  # [..., K+1]
+        # Mixed block: raw_derivs [..., K]; circular dims use all K (tied ends),
+        # linear dims use the first K-1 as interior with unit boundaries.
+        d_full = DEFAULT_MIN_DERIVATIVE + softplus(raw_derivs + deriv_offset)
+        circ_d = jnp.concatenate([d_full, d_full[..., :1]], axis=-1)
+        ones = jnp.ones_like(d_full[..., :1])
+        lin_d = jnp.concatenate([ones, d_full[..., : k - 1], ones], axis=-1)
+        derivs = jnp.where(circular[..., None], circ_d, lin_d)
 
     inside = (x >= -b) & (x <= b)
     x_safe = jnp.clip(x, -b, b)
@@ -92,7 +117,13 @@ def rational_quadratic_spline(
         k - 1,
     )
 
-    take = lambda a: jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
+    # One-hot contraction instead of take_along_axis: a K=8 multiply+sum fuses
+    # into the surrounding elementwise chain, where a gather becomes its own
+    # (dispatch-bound) kernel on TPU.
+    onehot = (
+        jnp.arange(k, dtype=jnp.int32) == idx[..., None]
+    ).astype(x_safe.dtype)
+    take = lambda a: jnp.sum(a * onehot, axis=-1)
     xk = take(x_knots[..., :-1])
     yk = take(y_knots[..., :-1])
     wk = take(widths)
@@ -168,10 +199,11 @@ class SplineCoupling(Bijector):
         if not self.circular_cond_mask or not any(self.circular_cond_mask):
             return x_cond
         ci = jnp.asarray([j for j, c in enumerate(self.circular_cond_mask) if c])
-        angles = x_cond[..., ci]
-        # Replace raw circular values with sin, append cos as extra features.
-        feats = x_cond.at[..., ci].set(jnp.sin(angles))
-        return jnp.concatenate([feats, jnp.cos(angles)], axis=-1)
+        mask = jnp.asarray(self.circular_cond_mask, bool)
+        # Replace raw circular values with sin (static-mask select, not
+        # gather+scatter), append cos as extra features (one static gather).
+        feats = jnp.where(mask, jnp.sin(x_cond), x_cond)
+        return jnp.concatenate([feats, jnp.cos(x_cond[..., ci])], axis=-1)
 
     def _params_per_dim(self) -> int:
         # widths K + heights K + derivs K (circular) or K-1 (linear tails); use 3K
@@ -219,37 +251,25 @@ class SplineCoupling(Bijector):
             assert len(circ) == d_trans, "circular_mask must cover transformed dims"
         else:
             circ = (False,) * d_trans
-        # Vectorise over dims, grouped by circularity (two spline calls max).
-        lin_idx = tuple(j for j, c in enumerate(circ) if not c)
-        circ_idx = tuple(j for j, c in enumerate(circ) if c)
-        y_trans = jnp.zeros_like(x_trans)
-        log_det = jnp.zeros(x.shape[:-1], x.dtype)
-        if lin_idx:
-            li = jnp.asarray(lin_idx)
-            y_l, ld_l = rational_quadratic_spline(
-                x_trans[..., li],
-                rw[..., li, :],
-                rh[..., li, :],
-                rd[..., li, : self.n_bins - 1],
-                inverse=inverse,
-                tail_bound=self.tail_bound,
-                circular=False,
+        if not any(circ):
+            # Pure-linear block: scalar fast path (e.g. LGCP / GMM spline flows).
+            y_trans, ld = rational_quadratic_spline(
+                x_trans, rw, rh, rd[..., : self.n_bins - 1],
+                inverse=inverse, tail_bound=self.tail_bound, circular=False,
             )
-            y_trans = y_trans.at[..., li].set(y_l)
-            log_det = log_det + jnp.sum(ld_l, axis=-1)
-        if circ_idx:
-            ci = jnp.asarray(circ_idx)
-            y_c, ld_c = rational_quadratic_spline(
-                x_trans[..., ci],
-                rw[..., ci, :],
-                rh[..., ci, :],
-                rd[..., ci, :],
-                inverse=inverse,
-                tail_bound=float(jnp.pi),
-                circular=True,
+        else:
+            # Mixed block: ONE spline call with per-dim tail bound/circularity
+            # (static constant vectors) — no index gathers, no scatter-merge.
+            # The former two-call + .at[].set form cost ~6x the kernel count.
+            circ_vec = jnp.asarray(circ, bool)
+            tb_vec = jnp.where(
+                circ_vec, jnp.float32(jnp.pi), jnp.float32(self.tail_bound)
+            ).astype(x_trans.dtype)
+            y_trans, ld = rational_quadratic_spline(
+                x_trans, rw, rh, rd,
+                inverse=inverse, tail_bound=tb_vec, circular=circ_vec,
             )
-            y_trans = y_trans.at[..., ci].set(y_c)
-            log_det = log_det + jnp.sum(ld_c, axis=-1)
+        log_det = jnp.sum(ld, axis=-1)
         return self._merge(x_cond, y_trans), log_det
 
     def forward_and_log_det(self, params, z: Array) -> Tuple[Array, Array]:
@@ -285,10 +305,15 @@ class PeriodicShift(Bijector):
         return {}
 
     def _apply(self, x: Array, direction: float) -> Array:
-        ci = jnp.asarray(self.circular_dims)
-        vals = x[..., ci] + direction * self.shift
+        # Full-width select on a static mask instead of gather + scatter: one
+        # fused elementwise kernel (the .at[ci].set form paid a gather AND a
+        # dynamic-update-slice per block on TPU).
+        mask = np.zeros(x.shape[-1], bool)
+        mask[list(self.circular_dims)] = True
+        mask = jnp.asarray(mask)
+        vals = x + direction * self.shift
         wrapped = jnp.mod(vals + self.bound, 2 * self.bound) - self.bound
-        return x.at[..., ci].set(wrapped)
+        return jnp.where(mask, wrapped, x)
 
     def forward_and_log_det(self, params, z: Array):
         del params

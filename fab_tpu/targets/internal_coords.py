@@ -89,16 +89,19 @@ class ZMatrixTransform:
         b1 = jnp.linalg.norm(pos[..., s2, :] - pos[..., s1, :], axis=-1)
         b2 = jnp.linalg.norm(pos[..., s3, :] - pos[..., s1, :], axis=-1)
         a2 = bond_angle(pos[..., s2, :], pos[..., s1, :], pos[..., s3, :])
-        bonds, angles, dihs = [], [], []
-        for atom, (r1, r2, r3) in self.z_matrix:
-            p = pos[..., atom, :]
-            q1, q2, q3 = (pos[..., r, :] for r in (r1, r2, r3))
-            bonds.append(jnp.linalg.norm(p - q1, axis=-1))
-            angles.append(bond_angle(p, q1, q2))
-            dihs.append(dihedral_angle(p, q1, q2, q3))
-        bonds = jnp.stack(bonds, -1)
-        angles = jnp.stack(angles, -1)
-        dihs = jnp.stack(dihs, -1)
+        # All z-matrix rows at once ([..., n_z, 3] gathers with static index
+        # arrays) instead of a per-row Python loop: the loop emitted ~19x the op
+        # count and made the transform dispatch-bound on TPU (round-5 profile:
+        # the ALDP step executes ~43k fused kernels, ~1% MFU).
+        atoms = np.asarray([a for a, _ in self.z_matrix])
+        refs = np.asarray([r for _, r in self.z_matrix])  # [n_z, 3]
+        p = pos[..., atoms, :]
+        q1 = pos[..., refs[:, 0], :]
+        q2 = pos[..., refs[:, 1], :]
+        q3 = pos[..., refs[:, 2], :]
+        bonds = jnp.linalg.norm(p - q1, axis=-1)
+        angles = bond_angle(p, q1, q2)
+        dihs = dihedral_angle(p, q1, q2, q3)
         internal = jnp.concatenate(
             [jnp.stack([b1, b2, a2], -1), bonds, angles, dihs], -1
         )
@@ -132,30 +135,31 @@ class ZMatrixTransform:
                 [b2 * jnp.cos(a2), b2 * jnp.sin(a2), jnp.zeros_like(b2)], -1
             )
         )
-        # NeRF placement, in z-matrix order (references must already be placed —
-        # the z-matrix is assumed topologically sorted wrt the seed, which holds
-        # for the ALDP spec after one reordering pass at construction).
-        order = self._placement_order()
-        for k in order:
-            atom, (r1, r2, r3) = self.z_matrix[k]
-            d = bonds[..., k]
-            theta = angles[..., k]
-            phi = dihs[..., k]
-            a_pos = pos[..., r1, :]
-            b_pos = pos[..., r2, :]
-            c_pos = pos[..., r3, :]
+        # NeRF placement, vectorised by topological LEVEL: every atom whose
+        # three references are already placed is positioned in the same step
+        # (ALDP: 19 rows collapse to 5 levels), with one static-index gather
+        # and one scatter per level instead of per atom. The per-atom Python
+        # loop made this transform dispatch-bound (round-5 profile) — same op
+        # semantics, ~4x fewer (and larger) fused kernels.
+        for ks in self._placement_levels():
+            ks_arr = np.asarray(ks)
+            atoms = np.asarray([self.z_matrix[k][0] for k in ks])
+            refs = np.asarray([self.z_matrix[k][1] for k in ks])  # [L, 3]
+            d = bonds[..., ks_arr, None]
+            theta = angles[..., ks_arr, None]
+            phi = dihs[..., ks_arr, None]
+            a_pos = pos[..., refs[:, 0], :]
+            b_pos = pos[..., refs[:, 1], :]
+            c_pos = pos[..., refs[:, 2], :]
             bc = _normalize(a_pos - b_pos)
             n = _normalize(jnp.cross(b_pos - c_pos, bc))
             m = jnp.cross(n, bc)
             # Sign of the n-component chosen so that
             # dihedral_angle(P, r1, r2, r3) == phi exactly (IUPAC sign).
-            d_vec = (
-                -d[..., None] * jnp.cos(theta)[..., None] * bc
-                + d[..., None]
-                * jnp.sin(theta)[..., None]
-                * (jnp.cos(phi)[..., None] * m + jnp.sin(phi)[..., None] * n)
+            d_vec = -d * jnp.cos(theta) * bc + d * jnp.sin(theta) * (
+                jnp.cos(phi) * m + jnp.sin(phi) * n
             )
-            pos = pos.at[..., atom, :].set(a_pos + d_vec)
+            pos = pos.at[..., atoms, :].set(a_pos + d_vec)
         log_det = jnp.log(b2) + jnp.sum(
             2 * jnp.log(bonds) + jnp.log(jnp.sin(angles)), -1
         )
@@ -163,21 +167,28 @@ class ZMatrixTransform:
 
     def _placement_order(self) -> Tuple[int, ...]:
         """Topological order of z-matrix rows st. every reference is placed."""
+        return tuple(k for level in self._placement_levels() for k in level)
+
+    def _placement_levels(self) -> Tuple[Tuple[int, ...], ...]:
+        """Topological LEVELS of z-matrix rows: within a level every row's
+        references are placed by earlier levels, so the whole level can be
+        positioned in one vectorised step."""
         placed = set(self.cart_indices)
         remaining = dict(enumerate(self.z_matrix))
-        order = []
+        levels = []
         while remaining:
-            progressed = False
-            for k in sorted(remaining):
-                atom, refs = remaining[k]
-                if all(r in placed for r in refs):
-                    order.append(k)
-                    placed.add(atom)
-                    del remaining[k]
-                    progressed = True
-            if not progressed:
+            level = [
+                k
+                for k in sorted(remaining)
+                if all(r in placed for r in remaining[k][1])
+            ]
+            if not level:
                 raise ValueError("z-matrix has unresolvable reference ordering")
-        return tuple(order)
+            for k in level:
+                placed.add(remaining[k][0])
+                del remaining[k]
+            levels.append(tuple(level))
+        return tuple(levels)
 
 
 # ---------------------------------------------------------------- normalisation
