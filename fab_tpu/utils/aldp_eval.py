@@ -237,6 +237,13 @@ def evaluate_aldp(
         "kld_ram": kld_ram,
         "frac_L_form": float(np.mean(filter_chirality(
             z_sample, scale=ch_scale, shift=ch_shift))),
+        # αL-region (positive-φ) mass in model samples vs test set: the
+        # reference's headline claim is discovery of BOTH φ modes
+        # (/root/reference/README.md:89-94); the minor mode carries ~0.2-0.4%
+        # mass (reference MD anchor: experiments/aldp_external_anchor.py), so
+        # this is the direct detector for it.
+        "frac_phi_pos_sample": float(((phi > 0.0) & (phi < 2.4)).mean()),
+        "frac_phi_pos_test": float(((phi_d > 0.0) & (phi_d < 2.4)).mean()),
     }
 
     if metric_dir is not None:

@@ -12,10 +12,13 @@ import sys
 
 _WANT_XLA = "--xla_force_host_platform_device_count=8"
 
-if os.environ.get("FAB_TPU_TESTS_REEXECED") != "1" and (
-    os.environ.get("JAX_PLATFORMS") != "cpu"
-    or "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
-):
+if os.environ.get("FAB_TPU_TESTS_REEXECED") != "1":
+    # Re-exec UNCONDITIONALLY (not only when JAX_PLATFORMS/XLA_FLAGS look wrong):
+    # a caller exporting JAX_PLATFORMS=cpu + the XLA flag themselves used to skip
+    # the re-exec, which left PALLAS_AXON_POOL_IPS set — the sitecustomize then
+    # registered the remote TPU anyway and the whole suite silently ran over the
+    # tunnel (1 device, wrong tolerances, ~3x slower, competing with training
+    # jobs). Round-5 lost a full suite run to exactly that.
     env = dict(os.environ)
     env["FAB_TPU_TESTS_REEXECED"] = "1"
     env["JAX_PLATFORMS"] = "cpu"
