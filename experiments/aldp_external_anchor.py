@@ -93,11 +93,12 @@ def digitize_reference_phi_density(png_path=PNG):
     for c in range(x0 + 2, x1 - 1):
         frac_x = (c - x0) / (x1 - x0)
         phi = -np.pi + frac_x * 2 * np.pi
-        ys = np.where(dark[ys0 + 2 : ys1 - 1, c] > 0)[0] + ys0 + 2
-        if phi > 0.2:
+        # Exclude the bottom 3px (x-spine/tick remnants read as curve at 1e-5).
+        ys = np.where(dark[ys0 + 2 : ys1 - 3, c] > 0)[0] + ys0 + 2
+        if phi > -0.35:
             # Legend (frame + black sample line + text) lives above the 1e-2
-            # line in this φ range, while the true minor-mode density never
-            # exceeds ~5e-3: restrict to pixels below the 1e-2 height.
+            # line for phi > ~-0.35, while the true curve there never exceeds
+            # ~5e-3: restrict to pixels below the 1e-2 height.
             ys = ys[ys > y_of_density(1e-2)]
         if len(ys) == 0:
             continue  # curve fully occluded by an overlaid colour curve here
