@@ -555,3 +555,33 @@ def test_dihedral_angle_iupac_sign(key):
     psi = float(dihedral_angle(*[p[:, a] for a in (6, 8, 14, 16)])[0])
     assert -3.0 < phi < -2.0, phi
     assert 2.0 < psi < 3.0, psi
+
+
+def test_reference_md_phi_digitization_calibrated():
+    """The external-anchor digitizer (experiments/aldp_external_anchor.py) must
+    stay calibrated: the extracted reference-MD φ density should integrate to
+    ~1 before renormalisation (axis calibration), place the major peak in the
+    C5/β region, and give an αL-region mass in the plot-consistent range.
+    Guards the round-5 ground-truth comparison against digitizer regressions."""
+    import os
+
+    import pytest as _pytest
+
+    png = "/root/reference/experiments/aldp/plots/aldp_phi.png"
+    if not os.path.exists(png):
+        _pytest.skip("reference plot not available")
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from experiments.aldp_external_anchor import digitize_reference_phi_density
+
+    phi, den, raw_norm = digitize_reference_phi_density(png)
+    assert 0.75 < raw_norm < 1.15  # axis calibration sane (linewidth bias ~10%)
+    assert len(phi) > 500
+    assert -2.9 < phi[np.argmax(den)] < -2.2  # major peak in C5/beta region
+    m = (phi > 0) & (phi < 2.4)
+    alpha_l = float(np.trapezoid(den[m], phi[m]))
+    assert 1e-3 < alpha_l < 8e-3  # minor-mode mass ~0.3%
+    # No legend/frame contamination: density in the valley region stays low.
+    v = (phi > -0.35) & (phi < 0.3)
+    assert den[v].max() < 5e-3
